@@ -1,0 +1,130 @@
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from phaser_tpu.io import bam as bamio
+from phaser_tpu.io import bed, bgzf, tabix, vcf
+
+import datagen
+
+
+def test_bgzf_roundtrip(tmp_path):
+    data = os.urandom(300000) + b"tail"
+    p = str(tmp_path / "x.gz")
+    bgzf.compress_to_path(data, p)
+    raw = open(p, "rb").read()
+    assert bgzf.decompress_all(raw) == data
+    # stdlib gzip can read BGZF (multi-member gzip)
+    assert gzip.decompress(raw) == data
+    assert bgzf.is_bgzf(p)
+
+
+def test_bgzf_virtual_offsets(tmp_path):
+    p = str(tmp_path / "v.gz")
+    with bgzf.BgzfWriter(p) as w:
+        w.write(b"hello ")
+        voff = w.virtual_offset
+        w.write(b"world " * 20000)
+    r = bgzf.BgzfReader(p)
+    r.seek_virtual(voff)
+    assert r.read(5) == b"world"
+    assert r.read_all_from(0).startswith(b"hello world")
+
+
+def test_bam_roundtrip(tmp_path):
+    recs = [
+        bamio.BamRecord("r1", 0, 100, 60, 0x63, [(10, bamio.OP_M)], "ACGTACGTAC",
+                        [30] * 10, 0, 300, 276, tags=[("AS", "i", 99)]),
+        bamio.BamRecord("r2", 0, 200, 10, 0x10, [(4, bamio.OP_S), (6, bamio.OP_M)],
+                        "TTTTGGGGCC", [38] * 10, -1, -1, 0,
+                        tags=[("NH", "i", 2), ("AS", "c", 12)]),
+        bamio.BamRecord("r3", 1, 5, 255, 0, [(5, bamio.OP_M), (100, bamio.OP_N), (5, bamio.OP_M)],
+                        "ACGTAACGTA", [8] * 10, -1, -1, 0, tags=[("ZZ", "Z", "hi")]),
+    ]
+    p = str(tmp_path / "t.bam")
+    bamio.write_bam(p, ["c1", "c2"], [1000, 1000], recs)
+    bd = bamio.read_bam(p)
+    assert len(bd) == 3
+    assert bd.ref_names == ["c1", "c2"]
+    assert list(bd.pos) == [100, 200, 5]
+    assert list(bd.mapq) == [60, 10, 255]
+    assert list(bd.as_score) == [99, 12, 0]
+    assert list(bd.has_as) == [True, True, False]
+    assert bd.names == [b"r1", b"r2", b"r3"]
+    assert bamio.cigar_to_string(bd.cigar_flat[bd.cigar_off[1]:bd.cigar_off[2]]) == "4S6M"
+    seq1 = bd.seq_flat[bd.seq_off[0]:bd.seq_off[1]]
+    assert "".join(bamio.SEQ_NIBBLE_CHARS[c] for c in seq1) == "ACGTACGTAC"
+    sub = bd.select(np.array([0, 2]))
+    assert list(sub.pos) == [100, 5]
+    assert bamio.cigar_to_string(sub.cigar_flat[sub.cigar_off[1]:sub.cigar_off[2]]) == "5M100N5M"
+
+
+def test_interval_set():
+    iv = bed.IntervalSet({"c": (np.array([10, 100, 50]), np.array([20, 110, 60]))})
+    s = np.array([0, 15, 20, 55, 105, 200])
+    e = s + 1
+    assert list(iv.overlaps("c", s, e)) == [False, True, False, True, True, False]
+    assert list(iv.overlaps("other", s, e)) == [False] * 6
+    # whole-range query
+    assert iv.overlaps("c", np.array([0]), np.array([1000]))[0]
+
+
+def test_vcf_fixture_and_tabix(tmp_path):
+    data = datagen.generate(seed=1, contigs=("chr21",), n_variants_per_contig=50,
+                            n_reads_per_contig=50)
+    p = str(tmp_path / "s.vcf.gz")
+    data.write_vcf(p, extra_samples=2)
+    cmap = vcf.sample_column_map(p)
+    assert cmap["SAMPLE1"] == 9
+    assert cmap["OTHER1"] == 11
+    lines = list(vcf.iter_vcf_lines(p))
+    body = [l for l in lines if not l.startswith("#")]
+    assert len(body) == 50
+    # region fetch via our tabix index
+    tf = tabix.TabixFile(p)
+    v = data.variants[10]
+    got = list(tf.fetch(v.chrom, v.pos - 1, v.pos))
+    assert any(int(l.split("\t")[1]) == v.pos for l in got)
+    # empty region
+    assert list(tf.fetch("chrX", 0, 100)) == []
+
+
+def test_het_filter_semantics(tmp_path):
+    data = datagen.generate(seed=2, contigs=("chr21",), n_variants_per_contig=60,
+                            n_reads_per_contig=10, frac_unphased_gt=0.2)
+    p = str(tmp_path / "s.vcf.gz")
+    data.write_vcf(p, extra_samples=1)
+    cmap = vcf.sample_column_map(p)
+    flt = vcf.het_filtered_lines(p, cmap["SAMPLE1"])
+    body = [l for l in flt if not l.startswith("#")]
+    # every surviving line lacks the grep substrings
+    for l in body:
+        assert "0|0" not in l and "1|1" not in l
+        assert len(l.split("\t")) == 10
+    hs = vcf.parse_het_sites(body, "", ["_", ":"], pass_only=True)
+    assert "chr21" in hs.pool
+    for rec in hs.pool["chr21"]:
+        xg = rec[10]
+        assert len(set(xg)) > 1
+        assert "PASS" in rec[6].split(";")
+
+
+def test_sam_text_matches_bam(tmp_path):
+    data = datagen.generate(seed=3, contigs=("chr20",), n_variants_per_contig=30,
+                            n_reads_per_contig=40)
+    p = str(tmp_path / "t.bam")
+    data.write_bam(p)
+    bd = bamio.read_bam(p)
+    assert len(bd) == len(data.sam_lines)
+    # spot-check a rendered SAM line's core fields vs datagen's text
+    for i in [0, 5, len(bd) - 1]:
+        ours = bamio.record_to_sam_line(bd, i).split("\t")
+        theirs = data.sam_lines[i].split("\t")
+        assert ours[0] == theirs[0]
+        assert ours[1] == theirs[1]
+        assert ours[3] == theirs[3]
+        assert ours[5] == theirs[5]
+        assert ours[9] == theirs[9]
+        assert ours[10] == theirs[10]
