@@ -1,0 +1,305 @@
+"""Read -> variant allele assignment, vectorized (numpy host path).
+
+Semantics mirror the reference mapper (/root/reference/phaser/read_variant_map.py):
+  - BASEQ mask to N before anything else (:179-184)
+  - CIGAR walk: M/X/= aligned, N splits segments, D emits placeholder,
+    I recorded for splicing, S/H skipped (:191-231)
+  - a variant is extracted iff its full REF span lies within one alignment
+    segment (:236-258); deletions strip to ""; a bare "N" allele is dropped
+  - template-length (isize) filter (:51); reads with N in CIGAR dropped
+    when splice == 0 (:170)
+  - one output row per (SAM line, variant); rows ordered by read stream
+    order then variant-table order (the sliding-buffer order)
+
+Design: a vectorized fast path computes per-base reference positions from the
+CIGAR (segmented cumsums; identical math runs in the JAX device kernel in
+phaser_tpu.kernels.alleles) and matches single-base variants by binary search.
+Reads containing insertions and variants with multi-base alleles take an
+exact string path (rare; reproduces the reference's insertion-splicing and
+deletion-stripping behavior verbatim).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..engine.varmap import VariantTable
+from ..io.bam import (BamData, CIGAR_OPS, OP_D, OP_EQ, OP_H, OP_I, OP_M, OP_N,
+                      OP_P, OP_S, OP_X, SEQ_NIBBLE_CHARS)
+
+# op class masks
+_READ_CONSUME = np.zeros(16, bool)
+_READ_CONSUME[[OP_M, OP_I, OP_S, OP_EQ, OP_X]] = True
+_REF_CONSUME = np.zeros(16, bool)
+_REF_CONSUME[[OP_M, OP_D, OP_N, OP_EQ, OP_X]] = True
+_ALIGNED = np.zeros(16, bool)
+_ALIGNED[[OP_M, OP_EQ, OP_X]] = True
+
+
+@dataclass
+class ContigHits:
+    """Rows of the mapper output for one contig, in reference row order."""
+
+    read_idx: np.ndarray                      # int64 into the BamData subset
+    var_idx: np.ndarray                       # int64 into the VariantTable
+    allele_code: np.ndarray                   # int16 nibble; -1 => see allele_strs
+    allele_strs: Dict[int, str] = field(default_factory=dict)
+
+    def __len__(self) -> int:
+        return len(self.read_idx)
+
+    def allele_str(self, row: int) -> str:
+        c = self.allele_code[row]
+        if c >= 0:
+            return SEQ_NIBBLE_CHARS[c]
+        return self.allele_strs[row]
+
+
+def expand_refpos(bd: BamData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-base 1-based reference positions for all reads.
+
+    Returns (refpos1, has_ins, ref_span):
+      refpos1:  int64 array, one entry per base in bd.seq_flat; 0 where the
+                base is not reference-aligned (I/S bases)
+      has_ins:  bool per read — contains an insertion op
+      ref_span: int64 per read — total reference bases consumed
+    """
+    ops = bd.cigar_flat
+    lens = (ops >> 4).astype(np.int64)
+    opc = (ops & 0xF).astype(np.int64)
+    n_reads = len(bd)
+    ops_per_read = np.diff(bd.cigar_off)
+    op_read = np.repeat(np.arange(n_reads, dtype=np.int64), ops_per_read)
+
+    read_adv = np.where(_READ_CONSUME[opc], lens, 0)
+    ref_adv = np.where(_REF_CONSUME[opc], lens, 0)
+
+    # exclusive segmented cumsums (reset at each read's first op)
+    def seg_excl_cumsum(vals: np.ndarray) -> np.ndarray:
+        tot0 = np.concatenate(([0], np.cumsum(vals)))
+        return tot0[:-1] - tot0[bd.cigar_off[op_read]]
+
+    read_before = seg_excl_cumsum(read_adv)
+    ref_before = seg_excl_cumsum(ref_adv)
+
+    refpos1 = np.zeros(bd.seq_off[-1], np.int64)
+    amask = _ALIGNED[opc]
+    if amask.any():
+        a_lens = lens[amask]
+        a_read = op_read[amask]
+        a_rb = read_before[amask]
+        a_gb = ref_before[amask]
+        total = int(a_lens.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(a_lens)[:-1])), a_lens)
+        base_idx = np.repeat(bd.seq_off[a_read] + a_rb, a_lens) + within
+        gpos = np.repeat(bd.pos[a_read].astype(np.int64) + 1 + a_gb, a_lens) + within
+        refpos1[base_idx] = gpos
+
+    has_ins = np.zeros(n_reads, bool)
+    np.logical_or.at(has_ins, op_read, opc == OP_I)
+    ref_span = np.zeros(n_reads, np.int64)
+    np.add.at(ref_span, op_read, ref_adv)
+    return refpos1, has_ins, ref_span
+
+
+def _masked_codes(bd: BamData, baseq: int) -> np.ndarray:
+    codes = bd.seq_flat.astype(np.int16)
+    codes[bd.qual_flat < baseq] = 15
+    return codes
+
+
+def _exact_read_rows(pos1: int, seq: str, quals: np.ndarray,
+                     cig: np.ndarray, vt: VariantTable,
+                     lo: int, hi: int, baseq: int,
+                     splice: bool) -> List[Tuple[int, str]]:
+    """Reference split_read + identify_allele on one read; returns
+    (var_idx, allele_str) for variants vt[lo:hi]."""
+    opc = cig & 0xF
+    if (not splice) and np.any(opc == OP_N):
+        return []
+    # BASEQ mask
+    bases = "".join(c if q >= baseq else "N" for c, q in zip(seq, quals))
+    segments = []  # (genome_start_off, pseudo, insertions)
+    genome_start = 0
+    genome_pos = 0
+    read_pos = 0
+    pseudo: List[str] = []
+    insertions: Dict[int, str] = {}
+    for c in cig:
+        ln = int(c) >> 4
+        op = int(c) & 0xF
+        if op in (OP_M, OP_X, OP_EQ):
+            pseudo.append(bases[read_pos:read_pos + ln])
+            read_pos += ln
+            genome_pos += ln
+        elif op == OP_N:
+            segments.append((genome_start, "".join(pseudo), insertions))
+            genome_pos += ln
+            genome_start = genome_pos
+            pseudo = []
+            insertions = {}
+        elif op == OP_D:
+            pseudo.append("D" * ln)
+            genome_pos += ln
+        elif op == OP_I:
+            insertions[genome_pos - 1] = bases[read_pos:read_pos + ln]
+            read_pos += ln
+        elif op == OP_S:
+            read_pos += ln
+        # H/P/unknown: no-op
+    segments.append((genome_start, "".join(pseudo), insertions))
+
+    out: List[Tuple[int, str]] = []
+    for vi in range(lo, hi):
+        vpos = int(vt.pos[vi])
+        rl = int(vt.ref_len[vi])
+        for gstart, ps, ins in segments:
+            map_start = pos1 + gstart
+            rs = vpos - map_start
+            re_ = vpos + rl - map_start
+            if rs >= 0 and re_ <= len(ps):
+                read_seq = ps[rs:re_]
+                offset = 0
+                for gp in range(rs, re_):
+                    if gp in ins:
+                        insert_pos = (gp - rs) + offset + 1
+                        read_seq = read_seq[:insert_pos] + ins[gp] + read_seq[insert_pos:]
+                        offset += len(ins[gp])
+                read_seq = read_seq.replace("D", "")
+                if read_seq != "N" and read_seq != "":
+                    out.append((vi, read_seq))
+                break
+    return out
+
+
+def assign_alleles(bd: BamData, vt: VariantTable, *, baseq: int,
+                   splice: bool = True, isize_cutoff: float = 0) -> ContigHits:
+    """Compute all mapper rows for one contig's reads against its table."""
+    n_reads = len(bd)
+    if n_reads == 0 or len(vt) == 0:
+        return ContigHits(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                          np.zeros(0, np.int16))
+    if np.any(np.diff(vt.pos) < 0):
+        raise ValueError("variant table must be position-sorted")
+
+    refpos1, has_ins, ref_span = expand_refpos(bd)
+    codes = _masked_codes(bd, baseq)
+
+    # isize filter (reference :51): abs(tlen) <= cutoff, or no cutoff
+    keep_read = np.ones(n_reads, bool)
+    if isize_cutoff != 0:
+        keep_read &= np.abs(bd.tlen.astype(np.int64)) <= isize_cutoff
+    if not splice:
+        # drop reads with N in cigar
+        opc_all = (bd.cigar_flat & 0xF)
+        ops_per_read = np.diff(bd.cigar_off)
+        op_read = np.repeat(np.arange(n_reads), ops_per_read)
+        hasN = np.zeros(n_reads, bool)
+        np.logical_or.at(hasN, op_read, opc_all == OP_N)
+        keep_read &= ~hasN
+
+    simple_var = vt.is_simple
+    exact_var_idx = np.flatnonzero(~simple_var)
+
+    # ---------------- fast path: aligned single bases at simple-variant pos
+    base_read = np.repeat(np.arange(n_reads, dtype=np.int64), np.diff(bd.seq_off))
+    aligned = refpos1 > 0
+    use = aligned & keep_read[base_read] & ~has_ins[base_read]
+    b_gpos = refpos1[use]
+    b_read = base_read[use]
+    b_code = codes[use]
+
+    # match positions against simple variants (there may be several table
+    # entries at one position)
+    spos = vt.pos
+    lo = np.searchsorted(spos, b_gpos, side="left")
+    hi = np.searchsorted(spos, b_gpos, side="right")
+    counts = hi - lo
+    rows_r, rows_v, rows_c = [], [], []
+    if len(counts):
+        maxc = int(counts.max()) if len(counts) else 0
+        for k in range(maxc):
+            m = counts > k
+            vi = lo[m] + k
+            sm = simple_var[vi]
+            rows_r.append(b_read[m][sm])
+            rows_v.append(vi[sm])
+            rows_c.append(b_code[m][sm])
+    if rows_r:
+        f_read = np.concatenate(rows_r)
+        f_vidx = np.concatenate(rows_v)
+        f_code = np.concatenate(rows_c)
+    else:
+        f_read = np.zeros(0, np.int64)
+        f_vidx = np.zeros(0, np.int64)
+        f_code = np.zeros(0, np.int16)
+    # drop bare-N alleles (reference :255)
+    nz = f_code != 15
+    f_read, f_vidx, f_code = f_read[nz], f_vidx[nz], f_code[nz]
+
+    # ---------------- exact path: reads with insertions (all their rows),
+    # plus all reads overlapping non-simple variants
+    e_rows_read: List[int] = []
+    e_rows_vidx: List[int] = []
+    e_rows_allele: List[str] = []
+
+    exact_reads = set(np.flatnonzero(has_ins & keep_read).tolist())
+    if len(exact_var_idx):
+        # coarse overlap: reads whose ref window touches a non-simple variant
+        starts = bd.pos.astype(np.int64) + 1
+        ends = starts + ref_span  # one past
+        for vi in exact_var_idx:
+            vp = int(vt.pos[vi])
+            rl = int(vt.ref_len[vi])
+            cand = np.flatnonzero((starts <= vp + rl) & (ends + 1 >= vp) & keep_read)
+            exact_reads.update(cand.tolist())
+
+    if exact_reads:
+        for ri in sorted(exact_reads):
+            p1 = int(bd.pos[ri]) + 1
+            so, eo = bd.seq_off[ri], bd.seq_off[ri + 1]
+            seq = "".join(SEQ_NIBBLE_CHARS[c] for c in bd.seq_flat[so:eo])
+            quals = bd.qual_flat[so:eo]
+            cig = bd.cigar_flat[bd.cigar_off[ri]:bd.cigar_off[ri + 1]]
+            span = int(ref_span[ri])
+            vlo = int(np.searchsorted(spos, p1 - 1, side="left"))
+            vhi = int(np.searchsorted(spos, p1 + span + 1, side="right"))
+            for vi, allele in _exact_read_rows(p1, seq, quals, cig, vt,
+                                               vlo, vhi, baseq, splice):
+                if not has_ins[ri] and vt.is_simple[vi]:
+                    continue  # fast path owns this row
+                e_rows_read.append(ri)
+                e_rows_vidx.append(vi)
+                e_rows_allele.append(allele)
+
+    # ---------------- merge + canonical reference order
+    all_read = np.concatenate([f_read, np.asarray(e_rows_read, np.int64)])
+    all_vidx = np.concatenate([f_vidx, np.asarray(e_rows_vidx, np.int64)])
+    all_code = np.concatenate([f_code, np.full(len(e_rows_read), -1, np.int16)])
+    order = np.lexsort((all_vidx, all_read))
+    hits = ContigHits(all_read[order], all_vidx[order], all_code[order])
+    if e_rows_read:
+        # locate exact rows post-sort
+        inv = np.empty(len(order), np.int64)
+        inv[order] = np.arange(len(order))
+        for k, (ri, vi, al) in enumerate(zip(e_rows_read, e_rows_vidx, e_rows_allele)):
+            hits.allele_strs[int(inv[len(f_read) + k])] = al
+    return hits
+
+
+def hits_to_tsv(bd: BamData, vt: VariantTable, hits: ContigHits) -> str:
+    """Render mapper rows as the reference TSV (read_variant_map.py:117)."""
+    out = []
+    for row in range(len(hits)):
+        ri = hits.read_idx[row]
+        vi = hits.var_idx[row]
+        as_str = str(int(bd.as_score[ri])) if bd.has_as[ri] else ""
+        out.append("\t".join([
+            bd.names[ri].decode(), vt.unique_ids[vi], vt.rs_ids[vi],
+            hits.allele_str(row), as_str, vt.geno_strings[vi],
+            vt.maf_strs[vi]]))
+    return "\n".join(out) + ("\n" if out else "")
