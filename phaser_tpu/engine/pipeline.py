@@ -1,0 +1,291 @@
+"""End-to-end phasing pipeline: the phaser_tpu equivalent of the reference
+main flow (/root/reference/phaser/phaser.py:182-1263), built on:
+
+  decode (io.bam) -> allele assignment (mapper.host / kernels.alleles)
+  -> hit accumulation (engine.hits) -> connection graph + binomial tests
+  (engine.connections) -> blocks (engine.blocks) -> exhaustive phasing
+  (engine.phasing) -> writers (engine.output_stage, engine.vcf_writer)
+
+No subprocesses, no external genomics tools.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io import bam as bamio
+from ..io import vcf as vcfio
+from ..io.bed import IntervalSet
+from .blocks import find_blocks
+from .connections import build_connections
+from .hits import build_contig_rows, build_variant_reads, noise_terms
+from .output_stage import (BlockOutputWriter, PhaserOptions,
+                           write_allelic_counts, write_variant_connections)
+from .phasing import phase_v3
+from .varmap import build_variant_table
+from ..mapper.host import assign_alleles
+from .vcf_writer import write_phased_vcf
+
+
+@dataclass
+class PhaserResult:
+    total_reads: int = 0
+    het_count: int = 0
+    noise_e: float = 0.0
+    n_blocks: int = 0
+    phased_variants: int = 0
+    unphased_phased: int = 0
+    phase_corrections: int = 0
+    unphased_count: int = 0
+    covered_count: int = 0
+    dropped_connections: int = 0
+
+
+def _broadcast(value: str, n: int, what: str) -> List[str]:
+    lst = value.split(",")
+    if len(lst) == 1 and n > 1:
+        lst = lst * n
+    elif len(lst) != n:
+        raise ValueError("Number of %s values and input BAMs does not match." % what)
+    return lst
+
+
+def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
+               baseq: int, paired_end: str, isize: str = "0",
+               blacklist: str = "", haplo_count_blacklist: str = "",
+               haplo_count_bam_exclude: str = "", chrom: str = "",
+               opts: Optional[PhaserOptions] = None,
+               log=print) -> PhaserResult:
+    opts = opts or PhaserOptions()
+    t0 = time.time()
+    res = PhaserResult()
+
+    if opts.id_separator == ":" or opts.id_separator == "":
+        raise ValueError("ID separator must not be ':' or blank.")
+    contig_ban = [opts.id_separator, ":"]
+
+    map_sample_column = vcfio.sample_column_map(vcf)
+    if sample not in map_sample_column:
+        raise ValueError("Sample '%s' not found in the input VCF file." % sample)
+    sample_column = map_sample_column[sample]
+    csi_index = os.path.isfile(vcf + ".csi")
+
+    bam_list = bam.split(",")
+    for xbam in bam_list:
+        if xbam and not os.path.isfile(xbam):
+            raise FileNotFoundError(xbam)
+    mapq_list = _broadcast(mapq, len(bam_list), "mapq")
+    isize_list = list(map(float, _broadcast(isize, len(bam_list), "isize")))
+    paired_list = _broadcast(paired_end, len(bam_list), "paired_end")
+    if haplo_count_bam_exclude:
+        excl = [int(x) - 1 for x in haplo_count_bam_exclude.split(",")]
+    else:
+        excl = []
+
+    # bam display names with duplicate suffixing (:469-480)
+    file_names = [os.path.basename(x).replace(".bam", "") for x in bam_list]
+    bam_names: List[str] = []
+    bam_counter: Dict[str, int] = {}
+    for xbam in file_names:
+        if file_names.count(xbam) > 1:
+            bam_counter[xbam] = bam_counter.get(xbam, 0) + 1
+            bam_names.append(xbam + "." + str(bam_counter[xbam]))
+        else:
+            bam_names.append(xbam)
+
+    # ---- #1 VCF filtering
+    log("#1. Loading heterozygous variants into intervals...")
+    bl = IntervalSet.from_bed(blacklist) if blacklist else None
+    filtered = vcfio.het_filtered_lines(vcf, sample_column, chrom or None, bl)
+    set_haplo_blacklist = set()
+    if haplo_count_blacklist:
+        hbl = IntervalSet.from_bed(haplo_count_blacklist)
+        set_haplo_blacklist = vcfio.haplo_blacklist_positions(
+            [l for l in filtered if not l.startswith("#")], hbl, chrom)
+    hs = vcfio.parse_het_sites([l for l in filtered if not l.startswith("#")],
+                               chrom, contig_ban, bool(opts.pass_only))
+    res.unphased_count = hs.unphased_count
+
+    tables = {}
+    het_count = 0
+    indels_excluded = 0
+    for c, recs in hs.pool.items():
+        vt = build_variant_table(
+            c, recs, id_separator=opts.id_separator, chr_prefix=opts.chr_prefix,
+            include_indels=bool(opts.include_indels),
+            gw_phase_method=opts.gw_phase_method, gw_af_field=opts.gw_af_field)
+        tables[c] = vt
+        het_count += vt.het_count
+        indels_excluded += vt.indels_excluded
+    res.het_count = het_count
+    log("          %d heterozygous sites being used for phasing "
+        "(%d filtered, %d indels excluded, %d unphased)"
+        % (het_count, hs.filter_count, indels_excluded, hs.unphased_count))
+    if het_count == 0:
+        raise RuntimeError("No heterozygous sites that passed all filters "
+                           "were included in the analysis")
+
+    contig_order = list(hs.pool.keys())
+
+    # ---- #2 read retrieval + allele mapping
+    log("#2. Retrieving reads that overlap heterozygous sites...")
+    per_contig_bam_hits: Dict[str, list] = {c: [] for c in contig_order}
+    as_scores_per_bam: Dict[int, list] = {}
+    kept_counts: Dict[Tuple[int, str], int] = {}
+
+    for bam_i, (xbam, mq, isz, pe) in enumerate(
+            zip(bam_list, mapq_list, isize_list, paired_list)):
+        log("     file: %s" % xbam)
+        log("          minimum mapq: %s" % mq)
+        bd = bamio.read_bam(xbam)
+        excl_flag = bamio.FLAG_UNMAPPED
+        if opts.remove_dups == 1:
+            excl_flag |= bamio.FLAG_DUP
+        req_flag = bamio.FLAG_PROPER_PAIR if int(pe) == 1 else 0
+        scores: List[int] = []
+        for c in contig_order:
+            vt = tables[c]
+            src_name = vt.chrom if opts.chr_prefix == "" else c
+            if vt.chrom in bd.ref_names:
+                tid = bd.ref_names.index(vt.chrom)
+            elif c in bd.ref_names:
+                tid = bd.ref_names.index(c)
+            else:
+                per_contig_bam_hits[c].append((bam_i, None, None))
+                kept_counts[(bam_i, c)] = 0
+                continue
+            keep = ((bd.refid == tid) & ((bd.flag & excl_flag) == 0) &
+                    ((bd.flag & req_flag) == req_flag) &
+                    (bd.mapq >= int(mq)))
+            chunk = bd.select(keep)
+            hits = assign_alleles(chunk, vt, baseq=baseq, splice=True,
+                                  isize_cutoff=isz)
+            per_contig_bam_hits[c].append((bam_i, chunk, hits))
+            kept_counts[(bam_i, c)] = len(hits)
+            if len(hits):
+                ha = chunk.has_as[hits.read_idx]
+                scores.extend(chunk.as_score[hits.read_idx][ha].tolist())
+            log("               completed chromosome %s..." % vt.chrom)
+        as_scores_per_bam[bam_i] = scores
+
+    # AS cutoffs (:540-553): quantile over all rows of the bam
+    as_cutoffs: Dict[int, Optional[float]] = {}
+    for bam_i in range(len(bam_list)):
+        cutoff = None
+        if opts.as_q_cutoff > 0:
+            scores = as_scores_per_bam[bam_i]
+            if len(scores) == 0:
+                log("          no alignment score value found in reads, "
+                    "cannot use cutoff")
+            else:
+                cutoff = float(np.percentile(scores, opts.as_q_cutoff * 100))
+                log("          using alignment score cutoff of %d" % cutoff)
+        as_cutoffs[bam_i] = cutoff
+
+    # global row sequence offsets: bam-major, then contig, then row
+    seq_offsets: Dict[Tuple[int, str], int] = {}
+    seq = 0
+    for bam_i in range(len(bam_list)):
+        for c in contig_order:
+            seq_offsets[(bam_i, c)] = seq
+            n = kept_counts.get((bam_i, c), 0)
+            if as_cutoffs[bam_i] is not None and n:
+                # count post-AS-filter rows
+                bam_idx, chunk, hits = next(
+                    t for t in per_contig_bam_hits[c] if t[0] == bam_i)
+                if chunk is not None:
+                    kept = chunk.as_score[hits.read_idx] >= as_cutoffs[bam_i]
+                    n = int(kept.sum())
+            seq += n
+
+    contig_states = []
+    total_reads = 0
+    for c in contig_order:
+        vt = tables[c]
+        per_bam = [(b, chunk, h) for (b, chunk, h) in per_contig_bam_hits[c]
+                   if chunk is not None]
+        rows = build_contig_rows(
+            vt, per_bam, as_cutoffs,
+            {b: seq_offsets[(b, c)] for b, _, _ in per_bam})
+        total_reads += len(rows)
+        vr = build_variant_reads(rows, excl)
+        contig_states.append((vr, None))
+    res.total_reads = total_reads
+    log("          retrieved %d reads" % total_reads)
+
+    # ---- #3 noise + connections
+    log("#3. Identifying connected variants...")
+    bm, bmm = 0, 0
+    for vr, _ in contig_states:
+        m, mm = noise_terms(vr)
+        bm += m
+        bmm += mm
+    if bm == 0:
+        raise RuntimeError("No reads could be matched to variants.")
+    noise_e = float(bmm) / (float(bm + bmm) * 2)
+    res.noise_e = noise_e
+    log("     sequencing noise level estimated at %f" % noise_e)
+
+    contig_states = [(vr, build_connections(vr, noise_e, opts.cc_threshold))
+                     for vr, _ in contig_states]
+
+    res.dropped_connections = write_variant_connections(o, contig_states)
+    log("     %d variant connections dropped because of conflicting "
+        "configurations (threshold = %f)"
+        % (res.dropped_connections, opts.cc_threshold))
+    res.covered_count = write_allelic_counts(o, contig_states)
+    log("     %d variants covered by at least 1 read" % res.covered_count)
+
+    # ---- #4/#5 blocks + phasing
+    log("#4. Identifying haplotype blocks...")
+    log("#5. Phasing blocks...")
+    final = []  # (vr, conn, [(v, allele_char)...])
+    for vr, conn in contig_states:
+        blocks = find_blocks(conn, vr.vt)
+        for block in blocks:
+            vconn = {v: conn.adj[v] for v in block if v in conn.adj}
+            ac = {}
+            for v in block:
+                for a in (0, 1):
+                    if (v, a) in conn.allele_conn:
+                        ac[(v, a)] = conn.allele_conn[(v, a)]
+            for phased in phase_v3(block, vconn, ac, opts.max_block_size):
+                final.append((vr, conn, phased))
+
+    # ---- #6 outputs
+    log("#6. Outputting haplotypes...")
+    writer = BlockOutputWriter(o, opts, bam_list, bam_names, excl,
+                               set_haplo_blacklist)
+    for vr, conn, phased in final:
+        writer.process_block(vr, conn, phased)
+    res.n_blocks = writer.state.block_count
+    res.phased_variants = len(writer.state.all_variant_ids)
+    if opts.unphased_vars == 1:
+        writer.write_singletons(contig_states)
+    writer.close()
+
+    # ---- #7 VCF
+    if opts.write_vcf == 1:
+        log("#7. Outputting phased VCF...")
+        rsid_lookup = {}
+        for vr, _ in contig_states:
+            vt = vr.vt
+            for i, uid in enumerate(vt.unique_ids):
+                rsid_lookup[uid] = vt.rsids_out[i]
+        res.unphased_phased, res.phase_corrections = write_phased_vcf(
+            vcf, sample_column, o, chrom, writer.state, opts,
+            csi_index=csi_index, rsid_lookup=rsid_lookup)
+
+    total_time = time.time() - t0
+    log("")
+    log("     COMPLETED using %d reads in %d seconds"
+        % (total_reads, total_time))
+    log("     PHASED  %d of %d all variants (= %f) with at least one other "
+        "variant" % (res.phased_variants, het_count,
+                     float(res.phased_variants) / float(het_count)))
+    return res

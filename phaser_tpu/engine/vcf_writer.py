@@ -1,0 +1,165 @@
+"""Phased VCF writer — reproduction of write_vcf
+(/root/reference/phaser/phaser.py:1661-1855): re-stream the input VCF cut to
+the sample column, inject PG/PB/PI/PM/PW/PC (and PS under --gw_phase_vcf 2),
+optionally rewrite GT from the genome-wide phase, then bgzip + tabix with our
+own codecs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..io import bgzf, tabix
+from ..io.vcf import cut_columns, iter_vcf_lines
+from ..utils.fmt import list_to_string
+from .output_stage import OutputState, PhaserOptions
+
+_FORMAT_HEADERS = [
+    ("PG", "##FORMAT=<ID=PG,Number=1,Type=String,Description=\"phASER Local Genotype\">"),
+    ("PB", "##FORMAT=<ID=PB,Number=1,Type=String,Description=\"phASER Local Block\">"),
+    ("PI", "##FORMAT=<ID=PI,Number=1,Type=String,Description=\"phASER Local Block Index (unique for each block)\">"),
+    ("PM", "##FORMAT=<ID=PM,Number=1,Type=String,Description=\"phASER Local Block Maximum Variant MAF\">"),
+    ("PW", "##FORMAT=<ID=PW,Number=1,Type=String,Description=\"phASER Genome Wide Genotype\">"),
+    ("PC", "##FORMAT=<ID=PC,Number=1,Type=String,Description=\"phASER Genome Wide Confidence\">"),
+]
+
+
+def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
+                     chromosome_of_interest: str, state: OutputState,
+                     opts: PhaserOptions, csi_index: bool = False,
+                     rsid_lookup=None) -> Tuple[int, int]:
+    """Returns (unphased_phased, phase_corrections)."""
+    set_phased_vars = set(state.haplotype_lookup.keys())
+    phase_corrections = 0
+    unphased_phased = 0
+    out_lines: List[str] = []
+    format_text = ""
+
+    chrom_arg = chromosome_of_interest if chromosome_of_interest != "" else None
+    for raw_line in iter_vcf_lines(vcf_path, chrom_arg):
+        line = cut_columns(raw_line, sample_column)
+        vcf_columns = line.split("\t")
+        if "##FORMAT" in line:
+            format_text += line + "\n"
+            out_lines.append(line)
+        elif line.startswith("#CHROM"):
+            for tag, hdr in _FORMAT_HEADERS:
+                if ("##FORMAT=<ID=%s," % tag) not in format_text:
+                    out_lines.append(hdr)
+            if opts.gw_phase_vcf == 2:
+                if "##FORMAT=<ID=PS," not in format_text:
+                    out_lines.append("##FORMAT=<ID=PS,Number=1,Type=String,"
+                                     "Description=\"Phase Set\">")
+            out_lines.append("\t".join(vcf_columns[0:9] + [vcf_columns[9]]))
+        elif line[0:1] == "#":
+            out_lines.append(line)
+        else:
+            chrom = vcf_columns[0]
+            pos = int(vcf_columns[1])
+            if chromosome_of_interest != "" and chrom != chromosome_of_interest:
+                continue
+            if "GT" in vcf_columns[8]:
+                gt_index = vcf_columns[8].split(":").index("GT")
+                genotype = list(vcf_columns[9].split(":")[gt_index])
+                if "|" in genotype:
+                    genotype.remove("|")
+                if "/" in genotype:
+                    genotype.remove("/")
+
+                alt_alleles = vcf_columns[4].split(",")
+                all_alleles = [vcf_columns[3]] + alt_alleles
+
+                n_fields = len(vcf_columns[8].split(":"))
+                for i in range(9, len(vcf_columns)):
+                    sample_fields_n = len(vcf_columns[i].split(":"))
+                    if sample_fields_n != n_fields:
+                        vcf_columns[i] += ":" * (n_fields - sample_fields_n)
+
+                vcf_format_fields = vcf_columns[8].split(":")
+                for tag in ["PG", "PB", "PI", "PW", "PC", "PM"]:
+                    if tag not in vcf_format_fields:
+                        vcf_format_fields.append(tag)
+                vcf_columns[8] = ":".join(vcf_format_fields)
+
+                unique_id = (chrom + opts.id_separator + str(pos) +
+                             opts.id_separator +
+                             opts.id_separator.join(all_alleles))
+
+                if unique_id in set_phased_vars:
+                    alleles_out = []
+                    gw_phase_out = ["", ""]
+                    variants_lu, hap_pair, block_index = \
+                        state.haplotype_lookup[unique_id]
+                    ind_alleles = state.ind_alleles[unique_id]
+                    gw_list = state.gw_phase[unique_id]
+                    for allele in hap_pair.split("|"):
+                        allele_base = ind_alleles[int(allele)]
+                        vcf_allele_index = all_alleles.index(allele_base)
+                        gw_phase = gw_list[int(allele)]
+                        if isinstance(gw_phase, int):
+                            gw_phase_out[gw_phase] = str(vcf_allele_index)
+                        alleles_out.append(str(vcf_allele_index))
+
+                    variants_out = [rsid_lookup[v].replace(":", "_")
+                                    for v in variants_lu]
+                    gw_stat = state.gw_stat_lookup[list_to_string(variants_lu)]
+                    max_block_maf = state.max_maf_lookup[list_to_string(variants_lu)]
+
+                    if "-" not in gw_phase_out:
+                        xfields = vcf_columns[9].split(":")
+                        new_phase = "|".join(gw_phase_out)
+                        if gw_stat >= opts.gw_phase_vcf_min_confidence:
+                            if "|" in xfields[gt_index] and \
+                                    xfields[gt_index] != new_phase:
+                                phase_corrections += 1
+                            if "/" in xfields[gt_index] and \
+                                    xfields[gt_index] != "./." and \
+                                    xfields[gt_index] != new_phase:
+                                unphased_phased += 1
+                            if opts.gw_phase_vcf in (1, 2):
+                                xfields[gt_index] = new_phase
+                                vcf_columns[9] = ":".join(xfields)
+                        if opts.gw_phase_vcf == 2 and \
+                                gw_stat < opts.gw_phase_vcf_min_confidence:
+                            xfields[gt_index] = "|".join(alleles_out)
+                            vcf_columns[9] = ":".join(xfields)
+
+                    sample_fields = vcf_columns[9].split(":")
+                    sample_fields += [""] * (len(vcf_format_fields) - len(sample_fields))
+                    sample_fields[vcf_format_fields.index("PG")] = "|".join(alleles_out)
+                    sample_fields[vcf_format_fields.index("PB")] = \
+                        list_to_string(variants_out)
+                    sample_fields[vcf_format_fields.index("PI")] = str(block_index)
+                    sample_fields[vcf_format_fields.index("PM")] = str(max_block_maf)
+                    sample_fields[vcf_format_fields.index("PW")] = "|".join(gw_phase_out)
+                    sample_fields[vcf_format_fields.index("PC")] = str(gw_stat)
+
+                    if opts.gw_phase_vcf == 2 and \
+                            gw_stat < opts.gw_phase_vcf_min_confidence:
+                        if "PS" not in vcf_format_fields:
+                            vcf_columns[8] += ":PS"
+                            vcf_format_fields.append("PS")
+                            sample_fields.append("")
+                        sample_fields[vcf_format_fields.index("PS")] = str(block_index)
+
+                    vcf_columns[9] = ":".join(sample_fields)
+                else:
+                    sample_fields = vcf_columns[9].split(":")
+                    sample_fields += [""] * (len(vcf_format_fields) - len(sample_fields))
+                    sample_fields[vcf_format_fields.index("PG")] = \
+                        "/".join(sorted(genotype))
+                    sample_fields[vcf_format_fields.index("PB")] = "."
+                    sample_fields[vcf_format_fields.index("PI")] = "."
+                    sample_fields[vcf_format_fields.index("PM")] = "."
+                    sample_fields[vcf_format_fields.index("PW")] = \
+                        vcf_columns[9].split(":")[gt_index]
+                    sample_fields[vcf_format_fields.index("PC")] = "."
+                    vcf_columns[9] = ":".join(sample_fields)
+
+            out_lines.append("\t".join(vcf_columns[0:9] + [vcf_columns[9]]))
+
+    text = ("\n".join(out_lines) + "\n").encode()
+    gz_path = out_prefix + ".vcf.gz"
+    bgzf.compress_to_path(text, gz_path)
+    tabix.build_vcf_index(gz_path, gz_path + (".csi" if csi_index else ".tbi"))
+    return unphased_phased, phase_corrections
