@@ -1,0 +1,172 @@
+"""phASER-POP cis-var: cis-regulatory effect sizes (aFC) from the gw_phased
+expression matrix + a population VCF.
+
+Parity implementation of /root/reference/phaser_pop/phaser_cis_var.py
+(modulo its py2 leftovers): per (gene, variant) pair, per phased-het sample
+compute aFC = log2((aCount+pc)/(bCount+pc)) sign-oriented ALT/REF; homozygous
+samples form the null cohort; bootstrap median CIs + empirical p + Wilcoxon
+rank-sum het-vs-hom |aFC| test.
+
+The reference bootstraps with the global unseeded numpy RNG; we use a
+deterministic per-pair seeded Generator (set `bs_seed`).  Point estimates,
+cohort lists, and the rank-sum test are exactly reproducible; CI bounds are
+statistically equivalent.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+from scipy.stats import ranksums
+
+from ..io import bgzf, tabix
+
+
+def _bootstrap_ci(x: List[float], bs: int, rng: np.random.Generator,
+                  return_p: bool = False) -> List[float]:
+    if len(x) > 0:
+        arr = np.asarray(x, float)
+        idx = rng.integers(0, len(arr), size=(bs, len(arr)))
+        vals = np.median(arr[idx], axis=1)
+        out = [float(np.percentile(vals, 2.5)), float(np.median(arr)),
+               float(np.percentile(vals, 97.5))]
+        if return_p:
+            p = (min(int((vals > 0).sum()), int((vals < 0).sum())) / bs) * 2
+            out.append(float(p))
+        return out
+    out = [float("nan")] * 3
+    if return_p:
+        out.append(float("nan"))
+    return out
+
+
+def _list_to_str(x, sep=",") -> str:
+    return sep.join(map(str, x))
+
+
+def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
+                pc: int = 1, min_cov: int = 8, chrom: str = "",
+                bs: int = 10000, ignore_v: int = 0, bs_seed: int = 0,
+                log=print) -> None:
+    df_map = pd.read_csv(sample_map, sep="\t", index_col=False)
+    dict_map = dict(zip(df_map["vcf_sample"], df_map["bed_sample"]))
+
+    df_pairs = pd.read_csv(pairs, sep="\t", index_col=False)
+    if ignore_v == 1:
+        df_pairs["gene_id"] = [x.split(".")[0] for x in df_pairs["gene_id"]]
+    if chrom != "":
+        df_pairs["var_contig"] = list(map(str, df_pairs["var_contig"]))
+        df_pairs = df_pairs[df_pairs.var_contig == chrom]
+
+    # load matrix rows for needed genes (reference filters lines by gene)
+    raw = bgzf.read_text_auto(bed).decode() if bed.endswith(".gz") else \
+        open(bed).read()
+    set_use_genes = set(df_pairs["gene_id"].tolist())
+    use_lines = []
+    for xline in raw.splitlines():
+        if xline.startswith("#"):
+            use_lines.append(xline)
+            continue
+        xcols = xline.split("\t")
+        name = xcols[3]
+        if ignore_v == 1 and name.split(".")[0] in set_use_genes:
+            use_lines.append(xline)
+        elif name in set_use_genes:
+            use_lines.append(xline)
+    import io as _io
+    df_phaser = pd.read_csv(_io.StringIO("\n".join(use_lines)), sep="\t")
+    df_phaser.index = df_phaser["name"]
+    if ignore_v == 1:
+        df_phaser.index = [x.split(".")[0] for x in df_phaser.index]
+    if len(df_phaser.index) == 0:
+        raise RuntimeError("no phASER data read from input")
+
+    tf = tabix.TabixFile(vcf)
+    # VCF column names
+    header_cols: List[str] = []
+    for line in bgzf.read_text_auto(vcf).decode().splitlines():
+        if line.startswith("#CHROM"):
+            header_cols = line.lstrip("#").split("\t")
+            break
+
+    results = []
+    for xindex in df_pairs.index:
+        row_test = df_pairs.loc[xindex]
+        if row_test["gene_id"] not in df_phaser.index:
+            continue
+        row_phaser = df_phaser.loc[row_test["gene_id"]]
+        var_pos = int(row_test["var_pos"])
+        var_chr = str(row_test["var_contig"])
+        for rec_line in tf.fetch(var_chr, var_pos - 1, var_pos):
+            rec = dict(zip(header_cols, rec_line.split("\t")))
+            if int(rec["POS"]) != var_pos:
+                continue
+            match = ((str(row_test.get("var_ref", "")) != "" and
+                      str(row_test.get("var_alt", "")) != "" and
+                      rec["REF"] == row_test["var_ref"] and
+                      rec["ALT"] == row_test["var_alt"]) or
+                     rec["ID"] == row_test["var_id"])
+            if not match:
+                continue
+            gt_index = rec["FORMAT"].split(":").index("GT")
+            afcs = [[], []]
+            phaser_counts = [[[], []], [[], []]]
+            ids = [[], []]
+            for xsamp in dict_map:
+                if xsamp not in rec or dict_map[xsamp] not in df_phaser.columns:
+                    continue
+                xgt = rec[xsamp].split(":")[gt_index]
+                if "|" not in xgt:
+                    continue
+                counts = list(map(float, str(row_phaser[dict_map[xsamp]]).split("|")))
+                if sum(counts) < min_cov:
+                    continue
+                afc = math.log((counts[0] + pc) / (counts[1] + pc), 2)
+                if "0" in xgt and "1" in xgt:
+                    alt_index = xgt.split("|").index("1")
+                    if alt_index == 1:
+                        afc *= -1
+                    afcs[0].append(afc)
+                    ids[0].append(xsamp)
+                    phaser_counts[0][0].append(int(counts[int(not alt_index)]))
+                    phaser_counts[0][1].append(int(counts[alt_index]))
+                elif xgt.count("0") == 2 or xgt.count("1") == 2:
+                    afcs[1].append(afc)
+                    ids[1].append(xsamp)
+                    phaser_counts[1][0].append(int(counts[0]))
+                    phaser_counts[1][1].append(int(counts[1]))
+
+            abs_afcs = [list(map(abs, afcs[0])), list(map(abs, afcs[1]))]
+            rng = np.random.default_rng([bs_seed, int(xindex)])
+            het_ci = _bootstrap_ci(afcs[0], bs, rng, True)
+            het_abs_ci = _bootstrap_ci(abs_afcs[0], bs, rng)
+            hom_ci = _bootstrap_ci(afcs[1], bs, rng)
+            hom_abs_ci = _bootstrap_ci(abs_afcs[1], bs, rng)
+            stat, pval = ranksums(abs_afcs[0], abs_afcs[1])
+            results.append(
+                [xindex, row_phaser["name"], row_test["var_id"], var_chr,
+                 var_pos, len(afcs[0]), len(afcs[1]), pval] + het_ci +
+                het_abs_ci + hom_ci + hom_abs_ci +
+                [_list_to_str(afcs[0]), _list_to_str(afcs[1]),
+                 _list_to_str(phaser_counts[0][0]),
+                 _list_to_str(phaser_counts[0][1]),
+                 _list_to_str(phaser_counts[1][0]),
+                 _list_to_str(phaser_counts[1][1]),
+                 _list_to_str(ids[0]), _list_to_str(ids[1])])
+
+    df_result = pd.DataFrame(results, columns=[
+        "xindex", "gene", "var_id", "var_chr", "var_pos", "var_het_n",
+        "var_hom_n", "het_hom_pvalue", "var_het_afc_lower", "var_het_afc",
+        "var_het_afc_upper", "var_het_pval", "var_het_abs_afc_lower",
+        "var_het_abs_afc", "var_het_abs_afc_upper", "var_hom_afc_lower",
+        "var_hom_afc", "var_hom_afc_upper", "var_hom_abs_afc_lower",
+        "var_hom_abs_afc", "var_hom_abs_afc_upper", "var_het_afcs",
+        "var_hom_afcs", "var_het_ref_counts", "var_het_alt_counts",
+        "var_hom_hap1_counts", "var_hom_hap2_counts", "var_het_sample_ids",
+        "var_hom_sample_ids"])
+    df_result = df_result.sort_values(by=["xindex"]).drop(["xindex"], axis=1)
+    df_result.to_csv(o, sep="\t", index=False)

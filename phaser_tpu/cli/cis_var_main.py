@@ -1,0 +1,32 @@
+"""phaser_cis_var-compatible CLI (/root/reference/phaser_pop/
+phaser_cis_var.py:15-29). Adds --bs_seed for reproducible bootstraps."""
+
+import argparse
+import sys
+
+from ..analysis.cis_var import run_cis_var
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="phaser_cis_var")
+    p.add_argument("--bed", type=str, required=True)
+    p.add_argument("--vcf", type=str, required=True)
+    p.add_argument("--pairs", type=str, required=True)
+    p.add_argument("--map", type=str, required=True)
+    p.add_argument("--o", type=str, required=True)
+    p.add_argument("--pc", default=1, type=int)
+    p.add_argument("--min_cov", type=int, default=8)
+    p.add_argument("--chr", type=str, default="")
+    p.add_argument("--bs", type=int, default=10000)
+    p.add_argument("--ignore_v", type=int, default=0)
+    p.add_argument("--t", type=int, default=1)
+    p.add_argument("--bs_seed", type=int, default=0)
+    args = p.parse_args(argv)
+    run_cis_var(args.bed, args.vcf, args.pairs, args.map, args.o, pc=args.pc,
+                min_cov=args.min_cov, chrom=args.chr, bs=args.bs,
+                ignore_v=args.ignore_v, bs_seed=args.bs_seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,6 +114,14 @@ class TabixIndexBuilder:
 
 def build_vcf_index(vcf_gz_path: str, tbi_path: Optional[str] = None) -> None:
     """Index an existing bgzipped VCF (equivalent of `tabix -p vcf f.vcf.gz`)."""
+    build_text_index(vcf_gz_path, tbi_path, preset="vcf")
+
+
+def build_text_index(vcf_gz_path: str, tbi_path: Optional[str] = None,
+                     preset: str = "vcf", col_seq: int = 1, col_beg: int = 2,
+                     col_end: int = 2) -> None:
+    """Index a bgzipped, position-sorted text file (VCF or generic TSV,
+    e.g. a CADD whole_genome_SNVs.tsv.gz)."""
     import bisect
 
     raw = open(vcf_gz_path, "rb").read()
@@ -144,7 +152,9 @@ def build_vcf_index(vcf_gz_path: str, tbi_path: Optional[str] = None) -> None:
 
     names: List[str] = []
     name_idx: Dict[str, int] = {}
-    b = TabixIndexBuilder(names, fmt=FMT_VCF)
+    is_vcf = preset == "vcf"
+    b = TabixIndexBuilder(names, fmt=FMT_VCF if is_vcf else FMT_GENERIC,
+                          col_seq=col_seq, col_beg=col_beg, col_end=col_end)
     pos = 0
     n_total = len(data)
     while pos < n_total:
@@ -153,17 +163,23 @@ def build_vcf_index(vcf_gz_path: str, tbi_path: Optional[str] = None) -> None:
             nl = n_total
         line = data[pos:nl]
         if line and not line.startswith(b"#"):
-            cols = line.split(b"\t", 4)
-            chrom = cols[0].decode()
-            p1 = int(cols[1])
-            ref = cols[3] if len(cols) > 3 else b"N"
+            cols = line.split(b"\t")
+            if is_vcf:
+                chrom = cols[0].decode()
+                p1 = int(cols[1])
+                ref = cols[3] if len(cols) > 3 else b"N"
+                beg0, end0 = p1 - 1, p1 - 1 + len(ref)
+            else:
+                chrom = cols[col_seq - 1].decode()
+                beg0 = int(cols[col_beg - 1]) - 1
+                end0 = int(cols[col_end - 1])
             if chrom not in name_idx:
                 name_idx[chrom] = len(names)
                 names.append(chrom)
                 b._bins.append(dict())
                 b._linear.append([])
-            b.add(name_idx[chrom], p1 - 1, p1 - 1 + len(ref),
-                  uoff2voff(pos), uoff2voff(nl + 1))
+            b.add(name_idx[chrom], beg0, end0, uoff2voff(pos),
+                  uoff2voff(nl + 1))
         pos = nl + 1
     b.names = names
     b.write(tbi_path or vcf_gz_path + ".tbi")

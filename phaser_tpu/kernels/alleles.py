@@ -1,0 +1,200 @@
+"""Device allele-assignment kernel (the hot loop of the framework).
+
+Semantics match mapper.host's fast path (single-base variants): every
+reference-aligned, BASEQ-passing, non-N read base whose genome position hits
+a variant produces one (read, variant, allele-class) hit.
+
+Layout: reads are padded to (N, L) int tensors; the variant table is a sorted
+position vector plus per-variant individual allele codes.  The kernel is a
+fused mask -> vectorized binary search -> gather-compare -> stream-compaction,
+all VPU work with no data-dependent shapes (hit capacity is static).
+
+A Pallas TPU kernel implements the same math tile-by-tile with the variant
+table resident in VMEM; the jnp path is the portable reference and the
+autodiff-free default on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OTHER = 2
+NO_HIT = 3
+
+
+@functools.partial(jax.jit, static_argnames=("baseq",))
+def assign_alleles_device(codes: jax.Array, quals: jax.Array,
+                          refpos: jax.Array, vpos: jax.Array,
+                          ind_codes: jax.Array, n_ind: jax.Array,
+                          baseq: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-base hit classification.
+
+    codes:  (N, L) uint8 nibble codes (0 pad)
+    quals:  (N, L) uint8
+    refpos: (N, L) int32 1-based aligned genome position (0 = unaligned pad)
+    vpos:   (M,) int32 sorted variant positions (must be unique; duplicate
+            table entries are resolved host-side)
+    ind_codes: (M, 2) uint8 individual's allele codes
+    n_ind:  (M,) int8
+
+    Returns (vidx, allele_class) each (N, L) int32:
+      allele_class: 0/1 = ind allele index, 2 = other, 3 = no hit
+    """
+    masked = jnp.where(quals >= baseq, codes, jnp.uint8(15))
+    vidx = jnp.searchsorted(vpos, refpos, side="left").astype(jnp.int32)
+    M = vpos.shape[0]
+    safe = jnp.minimum(vidx, M - 1)
+    hit = (refpos > 0) & (vidx < M) & (vpos[safe] == refpos) & (masked != 15)
+    a0 = ind_codes[safe, 0]
+    a1 = ind_codes[safe, 1]
+    ni = n_ind[safe]
+    allele = jnp.where(
+        (masked == a0) & (ni > 0), 0,
+        jnp.where((masked == a1) & (ni > 1), 1, OTHER)).astype(jnp.int32)
+    allele = jnp.where(hit, allele, NO_HIT)
+    return jnp.where(hit, vidx, -1), allele
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_hits(vidx: jax.Array, allele: jax.Array,
+                 capacity: int) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Stream-compact per-base hits into (read, var, allele) triplets.
+
+    Returns (read_idx, var_idx, allele_class, n_hits); rows beyond n_hits are
+    -1 padded.  Order: read-major then base order == (read, variant-position)
+    — the reference mapper's row order.
+    """
+    N, L = vidx.shape
+    flat_v = vidx.reshape(-1)
+    flat_a = allele.reshape(-1)
+    is_hit = flat_a < NO_HIT
+    pos = jnp.cumsum(is_hit) - 1
+    n_hits = jnp.sum(is_hit)
+    read_of = (jnp.arange(N * L, dtype=jnp.int32) // L)
+    out_r = jnp.full(capacity, -1, jnp.int32)
+    out_v = jnp.full(capacity, -1, jnp.int32)
+    out_a = jnp.full(capacity, -1, jnp.int32)
+    idx = jnp.where(is_hit, pos, capacity)  # dropped past capacity
+    out_r = out_r.at[idx].set(read_of, mode="drop")
+    out_v = out_v.at[idx].set(flat_v, mode="drop")
+    out_a = out_a.at[idx].set(flat_a, mode="drop")
+    return out_r, out_v, out_a, n_hits
+
+
+def pack_reads(bd, max_len: int = 0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side packing of a BamData subset into (codes, quals, refpos)
+    padded (N, L) tensors. L is rounded up to a multiple of 128 (lane width)."""
+    from ..mapper.host import expand_refpos
+
+    n = len(bd)
+    lens = np.diff(bd.seq_off)
+    L = int(max(max_len, lens.max() if n else 1))
+    L = ((L + 127) // 128) * 128
+    codes = np.zeros((n, L), np.uint8)
+    quals = np.zeros((n, L), np.uint8)
+    refpos = np.zeros((n, L), np.int32)
+    rp_flat, _, _ = expand_refpos(bd)
+    idx = np.arange(len(bd.seq_flat)) - np.repeat(bd.seq_off[:-1], lens)
+    rows = np.repeat(np.arange(n), lens)
+    codes[rows, idx] = bd.seq_flat
+    quals[rows, idx] = bd.qual_flat
+    refpos[rows, idx] = rp_flat
+    return codes, quals, refpos
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _alleles_pallas_kernel(vpos_ref, a0_ref, a1_ref, ni_ref,
+                           codes_ref, quals_ref, refpos_ref,
+                           vidx_out, allele_out, *, baseq: int, m_pow2: int):
+    codes = codes_ref[...]
+    quals = quals_ref[...]
+    refpos = refpos_ref[...]
+    masked = jnp.where(quals >= baseq, codes, jnp.int32(15))
+
+    # branchless binary search over the padded (power-of-two) variant table
+    M = vpos_ref.shape[-1]
+    lo = jnp.zeros(refpos.shape, jnp.int32)
+    step = m_pow2
+    vp = vpos_ref[...]  # (1, M) in VMEM
+
+    def body(carry, _):
+        lo, step = carry
+        step = step // 2
+        mid = lo + step
+        midv = jnp.take(vp[0], jnp.minimum(mid, M - 1), axis=0)
+        go = midv < refpos
+        lo = jnp.where(go, mid, lo)
+        return (lo, step), None
+
+    n_steps = int(np.log2(m_pow2)) if m_pow2 > 1 else 0
+    (lo, _), _ = jax.lax.scan(body, (lo, step), None, length=n_steps)
+    # lo = index of last element < refpos (or 0); candidate is lo or lo+1
+    cand = jnp.minimum(
+        jnp.where(jnp.take(vp[0], jnp.minimum(lo, M - 1)) >= refpos, lo, lo + 1),
+        M - 1)
+    cv = jnp.take(vp[0], cand)
+    hit = (refpos > 0) & (cv == refpos) & (masked != 15)
+    a0 = jnp.take(a0_ref[0], cand)
+    a1 = jnp.take(a1_ref[0], cand)
+    ni = jnp.take(ni_ref[0], cand)
+    allele = jnp.where((masked == a0) & (ni > 0), 0,
+                       jnp.where((masked == a1) & (ni > 1), 1, OTHER))
+    allele = jnp.where(hit, allele, NO_HIT)
+    vidx_out[...] = jnp.where(hit, cand, -1).astype(jnp.int32)
+    allele_out[...] = allele.astype(jnp.int32)
+
+
+def assign_alleles_pallas(codes, quals, refpos, vpos, ind_codes, n_ind,
+                          baseq: int, block_rows: int = 256):
+    """Pallas TPU version of assign_alleles_device (same outputs)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, L = codes.shape
+    M = int(vpos.shape[0])
+    m_pow2 = 1
+    while m_pow2 < M:
+        m_pow2 *= 2
+    # pad variant table to pow2 with sentinel
+    pad = m_pow2 - M if m_pow2 > M else 0
+    vpos_p = jnp.concatenate([vpos.astype(jnp.int32),
+                              jnp.full(pad, np.iinfo(np.int32).max, jnp.int32)])
+    a0 = jnp.concatenate([ind_codes[:, 0].astype(jnp.int32),
+                          jnp.zeros(pad, jnp.int32)])[None, :]
+    a1 = jnp.concatenate([ind_codes[:, 1].astype(jnp.int32),
+                          jnp.zeros(pad, jnp.int32)])[None, :]
+    ni = jnp.concatenate([n_ind.astype(jnp.int32),
+                          jnp.zeros(pad, jnp.int32)])[None, :]
+    vpos_p = vpos_p[None, :]
+    Mp = m_pow2
+
+    rows = min(block_rows, N) if N else 1
+    grid = (max(1, -(-N // rows)),)
+    kernel = functools.partial(_alleles_pallas_kernel, baseq=baseq,
+                               m_pow2=Mp)
+    out_shape = (jax.ShapeDtypeStruct((N, L), jnp.int32),
+                 jax.ShapeDtypeStruct((N, L), jnp.int32))
+    vspec = pl.BlockSpec((1, Mp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = lambda dt: pl.BlockSpec((rows, L), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vspec, vspec, vspec, vspec,
+                  rspec(None), rspec(None), rspec(None)],
+        out_specs=(pl.BlockSpec((rows, L), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rows, L), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=out_shape,
+    )(vpos_p, a0, a1, ni,
+      codes.astype(jnp.int32), quals.astype(jnp.int32), refpos)

@@ -1,0 +1,193 @@
+"""Device kernels vs host-path equivalence (CPU backend, 8 virtual devices)."""
+
+import numpy as np
+import pytest
+
+import datagen
+from phaser_tpu.engine.varmap import build_variant_table
+from phaser_tpu.io import vcf as vcfio
+from phaser_tpu.io import bam as bamio
+from phaser_tpu.mapper.host import assign_alleles, expand_refpos
+
+
+def _fixture(tmp_path, seed=0, **kw):
+    kw.setdefault("contigs", ("chr20",))
+    kw.setdefault("n_variants_per_contig", 80)
+    kw.setdefault("n_reads_per_contig", 500)
+    kw.setdefault("frac_indel_reads", 0.0)   # device path covers I-free reads
+    vcf, bam, data = datagen.write_fixture_dir(str(tmp_path), seed=seed, **kw)
+    lines = [l for l in vcfio.het_filtered_lines(vcf, 9) if not l.startswith("#")]
+    hs = vcfio.parse_het_sites(lines, "", ["_", ":"], True)
+    vt = build_variant_table("chr20", hs.pool["chr20"])
+    bd = bamio.read_bam(bam)
+    keep = (bd.refid == 0) & ((bd.flag & 0x404) == 0)
+    return bd.select(keep), vt
+
+
+def _device_hits(chunk, vt, baseq=10, use_pallas=False):
+    import jax.numpy as jnp
+    from phaser_tpu.kernels.alleles import (assign_alleles_device,
+                                            assign_alleles_pallas,
+                                            compact_hits, pack_reads)
+    codes, quals, refpos = pack_reads(chunk)
+    vpos = jnp.asarray(vt.pos.astype(np.int32))
+    ind = jnp.asarray(vt.ind_codes)
+    ni = jnp.asarray(vt.n_ind)
+    if use_pallas:
+        vidx, allele = assign_alleles_pallas(
+            jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos),
+            vpos, jnp.asarray(vt.ind_codes), jnp.asarray(vt.n_ind), baseq)
+    else:
+        vidx, allele = assign_alleles_device(
+            jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos),
+            vpos, ind, ni, baseq)
+    cap = int(codes.size)
+    r, v, a, n = compact_hits(jnp.asarray(vidx), jnp.asarray(allele), cap)
+    n = int(n)
+    return np.asarray(r[:n]), np.asarray(v[:n]), np.asarray(a[:n])
+
+
+def _host_hits(chunk, vt, baseq=10):
+    from phaser_tpu.engine.hits import classify_alleles
+    hits = assign_alleles(chunk, vt, baseq=baseq)
+    allele = classify_alleles(hits, vt)
+    return hits.read_idx, hits.var_idx, allele
+
+
+def test_device_allele_assignment_matches_host(tmp_path):
+    chunk, vt = _fixture(tmp_path)
+    assert np.all(np.diff(vt.pos) > 0)  # device path needs unique positions
+    hr, hv, ha = _host_hits(chunk, vt)
+    dr, dv, da = _device_hits(chunk, vt)
+    assert len(hr) > 50
+    np.testing.assert_array_equal(dr, hr)
+    np.testing.assert_array_equal(dv, hv)
+    np.testing.assert_array_equal(da, ha)
+
+
+def test_pallas_interpret_matches_host(tmp_path):
+    from jax.experimental.pallas import tpu as pltpu
+    chunk, vt = _fixture(tmp_path, seed=3, n_reads_per_contig=100)
+    hr, hv, ha = _host_hits(chunk, vt)
+    with pltpu.force_tpu_interpret_mode():
+        dr, dv, da = _device_hits(chunk, vt, use_pallas=True)
+    np.testing.assert_array_equal(dr, hr)
+    np.testing.assert_array_equal(dv, hv)
+    np.testing.assert_array_equal(da, ha)
+
+
+def test_binom_cdf_matches_scipy():
+    from scipy.stats import binom
+    from phaser_tpu.kernels.stats import binom_cdf
+    rng = np.random.default_rng(0)
+    n = rng.integers(1, 200, 200)
+    k = (n * rng.random(200)).astype(int)
+    p = rng.uniform(0.001, 0.999, 200)
+    ours = np.asarray(binom_cdf(k, n, p))
+    ref = binom.cdf(k, n, p)
+    # float32 betainc: ~1e-4; the engine's pruning decisions use the exact
+    # float64 host path, this kernel powers the all-device pipeline
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_phasescore_matches_host():
+    from phaser_tpu.engine.phasing import _score_configs, inverse_config
+    from phaser_tpu.kernels.phasescore import enumerate_scores
+    rng = np.random.default_rng(1)
+    for n in (2, 3, 5, 8):
+        variants = list(range(n))
+        ac = {}
+        for _ in range(n * 3):
+            i, j = rng.integers(0, n, 2)
+            if i == j:
+                continue
+            a, b = rng.integers(0, 2, 2)
+            ac.setdefault((int(i), int(a)), set()).add((int(j), int(b)))
+            ac.setdefault((int(j), int(b)), set()).add((int(i), int(a)))
+        configs = []
+        for bits in range(2 ** (n - 1)):
+            configs.append("0" + format(bits, "0%db" % (n - 1))[:n - 1]
+                           if n > 1 else "0")
+        host = _score_configs(variants, ac, configs)
+        local = {v: i for i, v in enumerate(variants)}
+        M = np.zeros((2 * n, 2 * n), np.float32)
+        for (v, a), conns in ac.items():
+            for (w, b) in conns:
+                M[local[v] * 2 + a, local[w] * 2 + b] = 1
+        dev = np.asarray(enumerate_scores(M, n)).astype(int)
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_paircount_matches_engine(tmp_path):
+    import jax.numpy as jnp
+    from phaser_tpu.engine.hits import build_contig_rows, build_variant_reads
+    from phaser_tpu.engine.connections import build_connections
+    from phaser_tpu.kernels.paircount import (count_pair_configs, emit_pairs,
+                                              pack_read_hits)
+    chunk, vt = _fixture(tmp_path, seed=2, contig_len=20000,
+                         n_reads_per_contig=1200)
+    hits = assign_alleles(chunk, vt, baseq=10)
+    rows = build_contig_rows(vt, [(0, chunk, hits)], {0: None}, {0: 0})
+    vr = build_variant_reads(rows, [])
+    conn = build_connections(vr, 0.002, 0.01)
+
+    K = 24
+    var_mat, allele_mat, overflow = pack_read_hits(vr.h_uid, vr.h_var,
+                                                   vr.h_allele, K)
+    assert len(overflow) == 0
+    lo, hi, al, ah = emit_pairs(jnp.asarray(var_mat), jnp.asarray(allele_mat), K)
+    keys, counts, n_uniq = count_pair_configs(lo, hi, al, ah, len(vt),
+                                              max_pairs=4096)
+    n_uniq = int(n_uniq)
+    keys = np.asarray(keys[:n_uniq])
+    counts = np.asarray(counts[:n_uniq]).reshape(n_uniq, 3, 3)
+    # engine counts for comparison
+    dev = {}
+    for k in range(n_uniq):
+        dev[int(keys[k])] = counts[k]
+    # rebuild engine-side counts from conn: config_a etc. can't be inverted,
+    # so recompute via the same enumeration on host
+    from phaser_tpu.engine.connections import _pair_combos
+    horder = np.argsort(vr.h_uid, kind="stable")
+    ci, cj, cai, caj = _pair_combos(vr.h_uid[horder], vr.h_var[horder],
+                                    vr.h_allele[horder])
+    host = {}
+    for a, b, x, y in zip(ci, cj, cai, caj):
+        key = int(a) * len(vt) + int(b)
+        host.setdefault(key, np.zeros((3, 3), np.int64))[int(x), int(y)] += 1
+    assert set(dev.keys()) == set(host.keys())
+    for k in host:
+        np.testing.assert_array_equal(dev[k], host[k])
+    # and the engine's pair stats derive from these counts
+    assert conn.n_pairs <= len(host)
+
+
+def test_sharded_allele_counts():
+    import jax
+    from phaser_tpu.dist.mesh import (make_mesh, pad_to_multiple,
+                                      sharded_allele_counts)
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(0)
+    N, L, M = 64, 128, 50
+    codes = rng.integers(0, 16, (N, L)).astype(np.uint8)
+    quals = rng.integers(0, 40, (N, L)).astype(np.uint8)
+    refpos = np.sort(rng.integers(1, 5000, (N, L)).astype(np.int32), axis=1)
+    vpos = np.sort(rng.choice(np.arange(1, 5000), M, replace=False)).astype(np.int32)
+    ind = rng.integers(1, 15, (M, 2)).astype(np.uint8)
+    ni = np.full(M, 2, np.int8)
+
+    mesh = make_mesh(8)
+    counts = np.asarray(sharded_allele_counts(
+        mesh, codes, quals, refpos, vpos, ind, ni, 10))
+
+    # single-device reference
+    from phaser_tpu.kernels.alleles import assign_alleles_device
+    import jax.numpy as jnp
+    vidx, allele = assign_alleles_device(jnp.asarray(codes), jnp.asarray(quals),
+                                         jnp.asarray(refpos), jnp.asarray(vpos),
+                                         jnp.asarray(ind), jnp.asarray(ni), 10)
+    vidx, allele = np.asarray(vidx), np.asarray(allele)
+    ref = np.zeros((M, 3), np.int64)
+    hit = allele < 3
+    np.add.at(ref, (vidx[hit], allele[hit]), 1)
+    np.testing.assert_array_equal(counts, ref)
