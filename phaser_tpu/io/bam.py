@@ -127,12 +127,16 @@ def _find_first_as(buf: bytes, start: int, end: int) -> Tuple[int, bool]:
     return 0, False
 
 
-def read_bam(path_or_bytes) -> BamData:
+def read_bam(path_or_bytes, native: bool = True, n_threads: int = 0) -> BamData:
     if isinstance(path_or_bytes, (bytes, bytearray)):
         raw = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as fh:
             raw = fh.read()
+    if native:
+        bd = _read_bam_native(raw, n_threads)
+        if bd is not None:
+            return bd
     data = bgzf.decompress_all(raw)
     if data[:4] != BAM_MAGIC:
         raise ValueError("not a BAM file")
@@ -203,6 +207,67 @@ def read_bam(path_or_bytes) -> BamData:
         qual_flat=(np.concatenate(qual_parts) if qual_parts else np.zeros(0, np.uint8)),
         seq_off=seq_off,
     )
+
+
+def _read_bam_native(raw: bytes, n_threads: int = 0) -> Optional[BamData]:
+    """C++ fast path: multithreaded BGZF inflate + single-pass record parse."""
+    from . import native as native_mod
+    lib = native_mod.get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    import os as _os
+    if n_threads <= 0:
+        n_threads = min(_os.cpu_count() or 1, 8)
+    total = lib.bgzf_total_size(raw, len(raw))
+    if total < 0:
+        return None
+    ubuf = np.empty(total, np.uint8)
+    got = lib.bgzf_decompress(raw, len(raw),
+                              ubuf.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if got != total:
+        return None
+    h = lib.bam_parse(ubuf.ctypes.data_as(ctypes.c_void_p), total)
+    if not h:
+        return None
+    try:
+        n = lib.bam_n_records(h)
+        n_refs = lib.bam_n_refs(h)
+        refid = np.empty(n, np.int32)
+        pos = np.empty(n, np.int32)
+        mapq = np.empty(n, np.uint8)
+        flag = np.empty(n, np.uint16)
+        tlen = np.empty(n, np.int32)
+        as_score = np.empty(n, np.int32)
+        has_as = np.empty(n, np.uint8)
+        cigar_off = np.empty(n + 1, np.int64)
+        seq_off = np.empty(n + 1, np.int64)
+        name_off = np.empty(n + 1, np.int64)
+        cigar = np.empty(lib.bam_total_cigar(h), np.uint32)
+        seq = np.empty(lib.bam_total_seq(h), np.uint8)
+        qual = np.empty(lib.bam_total_seq(h), np.uint8)
+        names_blob = np.empty(lib.bam_names_size(h), np.uint8)
+        refnames_blob = np.empty(lib.bam_refnames_size(h), np.uint8)
+        ref_lens = np.empty(n_refs, np.int32)
+        header = np.empty(lib.bam_header_size(h), np.uint8)
+        ptr = ctypes.c_void_p
+        lib.bam_fill(h, *(a.ctypes.data_as(ptr) for a in (
+            refid, pos, mapq, flag, tlen, as_score, has_as, cigar_off,
+            seq_off, name_off, cigar, seq, qual, names_blob, refnames_blob,
+            ref_lens, header)))
+    finally:
+        lib.bam_free(h)
+    nb = names_blob.tobytes()
+    names = [nb[name_off[i]:name_off[i + 1]] for i in range(n)]
+    ref_names = refnames_blob.tobytes().split(b"\x00")[:-1]
+    return BamData(
+        ref_names=[r.decode() for r in ref_names],
+        ref_lengths=ref_lens.tolist(),
+        header_text=header.tobytes().decode(),
+        refid=refid, pos=pos, mapq=mapq, flag=flag, tlen=tlen,
+        as_score=as_score, has_as=has_as.astype(bool), names=names,
+        cigar_flat=cigar, cigar_off=cigar_off, seq_flat=seq, qual_flat=qual,
+        seq_off=seq_off)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,332 @@
+// phaser_tpu native IO: multithreaded BGZF inflate + BAM parsing to
+// struct-of-arrays buffers, plus padded read-tensor packing for the device
+// allele-assignment kernel.
+//
+// Replaces the reference's `samtools view` pipes + Cython mapper front-end
+// (/root/reference/phaser/phaser.py:1346) with an in-process decoder that
+// feeds fixed-width int tensors. C API consumed via ctypes (no pybind11).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+struct BgzfBlock {
+  int64_t coff;    // compressed offset
+  int32_t bsize;   // compressed block size
+  int64_t uoff;    // uncompressed offset
+  int32_t isize;   // uncompressed size
+};
+
+static int scan_blocks(const uint8_t* data, int64_t size,
+                       std::vector<BgzfBlock>* blocks) {
+  int64_t off = 0;
+  int64_t uoff = 0;
+  while (off + 28 <= size) {
+    if (data[off] != 0x1f || data[off + 1] != 0x8b) return -1;
+    uint16_t xlen;
+    memcpy(&xlen, data + off + 10, 2);
+    int64_t xoff = off + 12, xend = xoff + xlen;
+    int32_t bsize = -1;
+    while (xoff + 4 <= xend) {
+      uint8_t si1 = data[xoff], si2 = data[xoff + 1];
+      uint16_t slen;
+      memcpy(&slen, data + xoff + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, data + xoff + 4, 2);
+        bsize = (int32_t)bs + 1;
+        break;
+      }
+      xoff += 4 + slen;
+    }
+    if (bsize < 0) return -2;
+    if (off + bsize > size) return -3;
+    int32_t isize;
+    memcpy(&isize, data + off + bsize - 4, 4);
+    blocks->push_back({off, bsize, uoff, isize});
+    uoff += isize;
+    off += bsize;
+  }
+  return 0;
+}
+
+// Returns total uncompressed size, or negative error.
+int64_t bgzf_total_size(const uint8_t* data, int64_t size) {
+  std::vector<BgzfBlock> blocks;
+  int rc = scan_blocks(data, size, &blocks);
+  if (rc != 0) return rc;
+  int64_t total = 0;
+  for (auto& b : blocks) total += b.isize;
+  return total;
+}
+
+// Parallel inflate of all blocks into out (caller sizes via bgzf_total_size).
+int64_t bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
+                        int n_threads) {
+  std::vector<BgzfBlock> blocks;
+  if (scan_blocks(data, size, &blocks) != 0) return -1;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  std::vector<int> errs(n_threads, 0);
+  size_t nb = blocks.size();
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (size_t i = t; i < nb; i += n_threads) {
+        const BgzfBlock& b = blocks[i];
+        if (b.isize == 0) continue;
+        const uint8_t* src = data + b.coff;
+        uint16_t xlen;
+        memcpy(&xlen, src + 10, 2);
+        const uint8_t* cdata = src + 12 + xlen;
+        int64_t clen = b.bsize - 12 - xlen - 8;
+        z_stream zs;
+        memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) { errs[t] = 1; return; }
+        zs.next_in = const_cast<uint8_t*>(cdata);
+        zs.avail_in = (uInt)clen;
+        zs.next_out = out + b.uoff;
+        zs.avail_out = (uInt)b.isize;
+        int r = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (r != Z_STREAM_END) { errs[t] = 2; return; }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int e : errs) if (e) return -2;
+  int64_t total = 0;
+  for (auto& b : blocks) total += b.isize;
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// BAM parse (operates on uncompressed BAM bytes)
+// ---------------------------------------------------------------------------
+
+struct BamIndexed {
+  // per-record scalars
+  std::vector<int32_t> refid, pos, tlen, as_score;
+  std::vector<uint8_t> mapq, has_as;
+  std::vector<uint16_t> flag;
+  std::vector<int64_t> cigar_off, seq_off, name_off;
+  // ragged
+  std::vector<uint32_t> cigar;
+  std::vector<uint8_t> seq, qual;   // seq = one nibble code per base
+  std::vector<char> names;          // concatenated, no terminators
+  // refs
+  std::vector<char> ref_names;      // \0-joined
+  std::vector<int32_t> ref_lens;
+  int64_t header_text_off = 0, header_text_len = 0;
+  int32_t n_refs = 0;
+  std::string header_text;
+};
+
+static int32_t rd_i32(const uint8_t* p) { int32_t v; memcpy(&v, p, 4); return v; }
+
+static void find_first_as(const uint8_t* p, const uint8_t* end, int32_t* as,
+                          uint8_t* has) {
+  *as = 0; *has = 0;
+  while (p + 3 <= end) {
+    char t0 = p[0], t1 = p[1], typ = p[2];
+    p += 3;
+    int sz = 0;
+    switch (typ) {
+      case 'A': case 'c': case 'C': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      case 'Z': case 'H': {
+        while (p < end && *p) p++;
+        p++;
+        continue;
+      }
+      case 'B': {
+        if (p + 5 > end) return;
+        char sub = (char)p[0];
+        int32_t cnt = rd_i32(p + 1);
+        int esz = (sub=='c'||sub=='C') ? 1 : (sub=='s'||sub=='S') ? 2 : 4;
+        p += 5 + (int64_t)esz * cnt;
+        continue;
+      }
+      default: return;
+    }
+    if (t0 == 'A' && t1 == 'S' && typ != 'A' && typ != 'f') {
+      int64_t v = 0;
+      switch (typ) {
+        case 'c': v = *(int8_t*)p; break;
+        case 'C': v = *(uint8_t*)p; break;
+        case 's': { int16_t x; memcpy(&x, p, 2); v = x; break; }
+        case 'S': { uint16_t x; memcpy(&x, p, 2); v = x; break; }
+        case 'i': { int32_t x; memcpy(&x, p, 4); v = x; break; }
+        case 'I': { uint32_t x; memcpy(&x, p, 4); v = x; break; }
+      }
+      *as = (int32_t)v; *has = 1;
+      return;
+    }
+    p += sz;
+  }
+}
+
+void* bam_parse(const uint8_t* data, int64_t size) {
+  if (size < 12 || memcmp(data, "BAM\x01", 4) != 0) return nullptr;
+  BamIndexed* bi = new BamIndexed();
+  int64_t off = 4;
+  int32_t l_text = rd_i32(data + off); off += 4;
+  bi->header_text.assign((const char*)data + off, l_text);
+  size_t nul = bi->header_text.find('\0');
+  if (nul != std::string::npos) bi->header_text.resize(nul);
+  off += l_text;
+  bi->n_refs = rd_i32(data + off); off += 4;
+  for (int i = 0; i < bi->n_refs; i++) {
+    int32_t l_name = rd_i32(data + off); off += 4;
+    bi->ref_names.insert(bi->ref_names.end(), (const char*)data + off,
+                         (const char*)data + off + l_name);  // includes \0
+    off += l_name;
+    bi->ref_lens.push_back(rd_i32(data + off)); off += 4;
+  }
+  bi->cigar_off.push_back(0);
+  bi->seq_off.push_back(0);
+  bi->name_off.push_back(0);
+  while (off + 4 <= size) {
+    int32_t block_size = rd_i32(data + off); off += 4;
+    const uint8_t* rec = data + off;
+    const uint8_t* rec_end = rec + block_size;
+    int32_t rid = rd_i32(rec);
+    int32_t p = rd_i32(rec + 4);
+    uint8_t l_read_name = rec[8];
+    uint8_t mq = rec[9];
+    uint16_t n_cigar; memcpy(&n_cigar, rec + 12, 2);
+    uint16_t fl; memcpy(&fl, rec + 14, 2);
+    int32_t l_seq = rd_i32(rec + 16);
+    int32_t tl = rd_i32(rec + 28);
+    const uint8_t* q = rec + 32;
+    bi->names.insert(bi->names.end(), (const char*)q,
+                     (const char*)q + l_read_name - 1);
+    bi->name_off.push_back((int64_t)bi->names.size());
+    q += l_read_name;
+    const uint32_t* cig = (const uint32_t*)q;
+    bi->cigar.insert(bi->cigar.end(), cig, cig + n_cigar);
+    bi->cigar_off.push_back((int64_t)bi->cigar.size());
+    q += 4 * (int64_t)n_cigar;
+    int64_t nbytes = (l_seq + 1) / 2;
+    size_t sbase = bi->seq.size();
+    bi->seq.resize(sbase + l_seq);
+    for (int64_t k = 0; k < l_seq; k++) {
+      uint8_t byte = q[k >> 1];
+      bi->seq[sbase + k] = (k & 1) ? (byte & 0xF) : (byte >> 4);
+    }
+    q += nbytes;
+    bi->qual.insert(bi->qual.end(), q, q + l_seq);
+    bi->seq_off.push_back((int64_t)bi->seq.size());
+    q += l_seq;
+    int32_t as; uint8_t has;
+    find_first_as(q, rec_end, &as, &has);
+    bi->refid.push_back(rid);
+    bi->pos.push_back(p);
+    bi->mapq.push_back(mq);
+    bi->flag.push_back(fl);
+    bi->tlen.push_back(tl);
+    bi->as_score.push_back(as);
+    bi->has_as.push_back(has);
+    off += block_size;
+  }
+  return bi;
+}
+
+int64_t bam_n_records(void* h) { return (int64_t)((BamIndexed*)h)->refid.size(); }
+int32_t bam_n_refs(void* h) { return ((BamIndexed*)h)->n_refs; }
+int64_t bam_total_cigar(void* h) { return (int64_t)((BamIndexed*)h)->cigar.size(); }
+int64_t bam_total_seq(void* h) { return (int64_t)((BamIndexed*)h)->seq.size(); }
+int64_t bam_names_size(void* h) { return (int64_t)((BamIndexed*)h)->names.size(); }
+int64_t bam_refnames_size(void* h) { return (int64_t)((BamIndexed*)h)->ref_names.size(); }
+int64_t bam_header_size(void* h) { return (int64_t)((BamIndexed*)h)->header_text.size(); }
+
+void bam_fill(void* h, int32_t* refid, int32_t* pos, uint8_t* mapq,
+              uint16_t* flag, int32_t* tlen, int32_t* as_score,
+              uint8_t* has_as, int64_t* cigar_off, int64_t* seq_off,
+              int64_t* name_off, uint32_t* cigar, uint8_t* seq, uint8_t* qual,
+              char* names, char* ref_names, int32_t* ref_lens, char* header) {
+  BamIndexed* b = (BamIndexed*)h;
+  int64_t n = (int64_t)b->refid.size();
+  memcpy(refid, b->refid.data(), n * 4);
+  memcpy(pos, b->pos.data(), n * 4);
+  memcpy(mapq, b->mapq.data(), n);
+  memcpy(flag, b->flag.data(), n * 2);
+  memcpy(tlen, b->tlen.data(), n * 4);
+  memcpy(as_score, b->as_score.data(), n * 4);
+  memcpy(has_as, b->has_as.data(), n);
+  memcpy(cigar_off, b->cigar_off.data(), (n + 1) * 8);
+  memcpy(seq_off, b->seq_off.data(), (n + 1) * 8);
+  memcpy(name_off, b->name_off.data(), (n + 1) * 8);
+  memcpy(cigar, b->cigar.data(), b->cigar.size() * 4);
+  memcpy(seq, b->seq.data(), b->seq.size());
+  memcpy(qual, b->qual.data(), b->qual.size());
+  memcpy(names, b->names.data(), b->names.size());
+  memcpy(ref_names, b->ref_names.data(), b->ref_names.size());
+  memcpy(ref_lens, b->ref_lens.data(), b->ref_lens.size() * 4);
+  memcpy(header, b->header_text.data(), b->header_text.size());
+}
+
+void bam_free(void* h) { delete (BamIndexed*)h; }
+
+// ---------------------------------------------------------------------------
+// Padded read-tensor packing (codes/quals/refpos) with CIGAR expansion —
+// the host half of the device allele-assignment kernel.
+// ---------------------------------------------------------------------------
+
+void pack_reads_native(
+    // inputs (SoA for n reads)
+    int64_t n, const int32_t* pos, const uint32_t* cigar,
+    const int64_t* cigar_off, const uint8_t* seq, const uint8_t* qual,
+    const int64_t* seq_off,
+    // outputs (n x L), zero-initialized by caller
+    int64_t L, uint8_t* codes, uint8_t* quals, int32_t* refpos,
+    int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (int64_t i = t; i < n; i += n_threads) {
+        int64_t so = seq_off[i];
+        int64_t slen = seq_off[i + 1] - so;
+        if (slen > L) slen = L;
+        memcpy(codes + i * L, seq + so, slen);
+        memcpy(quals + i * L, qual + so, slen);
+        int32_t* rp = refpos + i * L;
+        int64_t read_i = 0;
+        int64_t g = (int64_t)pos[i] + 1;  // 1-based
+        for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
+          uint32_t op = cigar[c];
+          int64_t len = op >> 4;
+          switch (op & 0xF) {
+            case 0: case 7: case 8:  // M, =, X
+              for (int64_t k = 0; k < len && read_i < L; k++, read_i++, g++)
+                rp[read_i] = (int32_t)g;
+              break;
+            case 1: case 4:          // I, S
+              read_i += len;
+              break;
+            case 2: case 3:          // D, N
+              g += len;
+              break;
+            default: break;          // H, P
+          }
+          if (read_i >= L) break;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -86,11 +86,14 @@ def compact_hits(vidx: jax.Array, allele: jax.Array,
     return out_r, out_v, out_a, n_hits
 
 
-def pack_reads(bd, max_len: int = 0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def pack_reads(bd, max_len: int = 0,
+               native: bool = True) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side packing of a BamData subset into (codes, quals, refpos)
-    padded (N, L) tensors. L is rounded up to a multiple of 128 (lane width)."""
-    from ..mapper.host import expand_refpos
+    padded (N, L) tensors. L is rounded up to a multiple of 128 (lane width).
 
+    Uses the C++ packer (CIGAR expansion fused with the copy, multithreaded)
+    when available; numpy fallback otherwise.
+    """
     n = len(bd)
     lens = np.diff(bd.seq_off)
     L = int(max(max_len, lens.max() if n else 1))
@@ -98,6 +101,28 @@ def pack_reads(bd, max_len: int = 0) -> Tuple[np.ndarray, np.ndarray, np.ndarray
     codes = np.zeros((n, L), np.uint8)
     quals = np.zeros((n, L), np.uint8)
     refpos = np.zeros((n, L), np.int32)
+    if native and n:
+        from ..io import native as native_mod
+        lib = native_mod.get_lib()
+        if lib is not None:
+            import ctypes
+            import os as _os
+            ptr = ctypes.c_void_p
+            pos = np.ascontiguousarray(bd.pos, np.int32)
+            cig = np.ascontiguousarray(bd.cigar_flat, np.uint32)
+            coff = np.ascontiguousarray(bd.cigar_off, np.int64)
+            seq = np.ascontiguousarray(bd.seq_flat, np.uint8)
+            qual = np.ascontiguousarray(bd.qual_flat, np.uint8)
+            soff = np.ascontiguousarray(bd.seq_off, np.int64)
+            lib.pack_reads_native(
+                n, pos.ctypes.data_as(ptr), cig.ctypes.data_as(ptr),
+                coff.ctypes.data_as(ptr), seq.ctypes.data_as(ptr),
+                qual.ctypes.data_as(ptr), soff.ctypes.data_as(ptr),
+                L, codes.ctypes.data_as(ptr), quals.ctypes.data_as(ptr),
+                refpos.ctypes.data_as(ptr), min(_os.cpu_count() or 1, 8))
+            return codes, quals, refpos
+    from ..mapper.host import expand_refpos
+
     rp_flat, _, _ = expand_refpos(bd)
     idx = np.arange(len(bd.seq_flat)) - np.repeat(bd.seq_off[:-1], lens)
     rows = np.repeat(np.arange(n), lens)

@@ -42,6 +42,9 @@ def canon_hap_counts_line(line: str) -> str:
     cols = line.split("\t")
     if len(cols) >= 18:
         cols[16], cols[17] = canon_read_indices(cols[16], cols[17])
+        # variantsBlacklisted is a Python set in the reference -> sort
+        if cols[5]:
+            cols[5] = ",".join(sorted(cols[5].split(",")))
     return "\t".join(cols)
 
 

@@ -96,7 +96,8 @@ def generate(seed: int = 0,
              frac_multiallelic: float = 0.05,
              frac_nonpass: float = 0.05,
              include_indel_variants: bool = False,
-             sample: str = "SAMPLE1") -> SynthData:
+             sample: str = "SAMPLE1",
+             read_seed: Optional[int] = None) -> SynthData:
     rng = np.random.default_rng(seed)
     genome: Dict[str, str] = {}
     variants: List[SynthVariant] = []
@@ -115,7 +116,9 @@ def generate(seed: int = 0,
                 keep.append(int(p))
             if len(keep) >= n_variants_per_contig:
                 break
-        hap0, hap1 = g, g
+        hap0b = bytearray(g, "ascii")   # in-place SNP mutation (O(1) each)
+        hap1b = bytearray(g, "ascii")
+        hap_changed = [False, False]
         for vi, pos0 in enumerate(keep):
             ref = g[pos0]
             if include_indel_variants and rng.random() < 0.1:
@@ -150,18 +153,21 @@ def generate(seed: int = 0,
             ha = all_alleles[int(galleles[0])]
             hb = all_alleles[int(galleles[1])]
             if len(ha) == len(v.ref):
-                hap0 = _mutate(hap0, pos0, v.ref, ha)
+                hap0b[pos0:pos0 + len(v.ref)] = ha.encode()
             if len(hb) == len(v.ref):
-                hap1 = _mutate(hap1, pos0, v.ref, hb)
-        hap_seqs[chrom] = (hap0, hap1)
+                hap1b[pos0:pos0 + len(v.ref)] = hb.encode()
+        hap_seqs[chrom] = (hap0b.decode(), hap1b.decode())
 
     sam_header = ["@HD\tVN:1.6\tSO:coordinate"]
     for c in contigs:
         sam_header.append("@SQ\tSN:%s\tLN:%d" % (c, contig_len))
 
     # ------------------------------------------------------------------
-    # reads
+    # reads (separate stream when read_seed given: same genome/variants,
+    # different reads -- for multi-BAM fixtures)
     # ------------------------------------------------------------------
+    if read_seed is not None:
+        rng = np.random.default_rng(read_seed)
     recs: List[Tuple[int, bamio.BamRecord]] = []  # (sortkey, record)
     read_id = 0
     for ci, chrom in enumerate(contigs):

@@ -23,9 +23,10 @@ def run_reference_phaser(vcf: str, bam: str, sample: str, out_prefix: str,
                          paired_end: str = "1", extra=None,
                          hashseed: str = "0", timeout: int = 600):
     """Returns CompletedProcess; output files land at out_prefix.*"""
-    bai = bam + ".bai"
-    if not os.path.exists(bai):
-        pathlib.Path(bai).touch()
+    for xbam in bam.split(","):
+        bai = xbam + ".bai"
+        if xbam and not os.path.exists(bai):
+            pathlib.Path(bai).touch()
     env = dict(os.environ)
     env["PATH"] = SHIM_BIN + ":" + env.get("PATH", "")
     env["PYTHONPATH"] = SHIM_PY + ":" + env.get("PYTHONPATH", "")
