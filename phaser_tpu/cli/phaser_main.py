@@ -93,7 +93,8 @@ def main(argv=None) -> int:
             isize=args.isize, blacklist=args.blacklist,
             haplo_count_blacklist=args.haplo_count_blacklist,
             haplo_count_bam_exclude=args.haplo_count_bam_exclude,
-            chrom=args.chr, opts=opts)
+            chrom=args.chr, opts=opts,
+            device=("host" if args.device in ("host", "cpu") else "auto"))
     except (ValueError, RuntimeError, FileNotFoundError) as e:
         print("     FATAL ERROR: %s" % e)
         return 1

@@ -28,7 +28,7 @@ from .output_stage import (BlockOutputWriter, PhaserOptions,
                            write_allelic_counts, write_variant_connections)
 from .phasing import phase_v3
 from .varmap import build_variant_table
-from ..mapper.host import assign_alleles
+from ..mapper.dispatch import assign_alleles_auto
 from .vcf_writer import write_phased_vcf
 
 
@@ -59,7 +59,7 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                baseq: int, paired_end: str, isize: str = "0",
                blacklist: str = "", haplo_count_blacklist: str = "",
                haplo_count_bam_exclude: str = "", chrom: str = "",
-               opts: Optional[PhaserOptions] = None,
+               opts: Optional[PhaserOptions] = None, device: str = "host",
                log=print) -> PhaserResult:
     opts = opts or PhaserOptions()
     t0 = time.time()
@@ -163,8 +163,8 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     ((bd.flag & req_flag) == req_flag) &
                     (bd.mapq >= int(mq)))
             chunk = bd.select(keep)
-            hits = assign_alleles(chunk, vt, baseq=baseq, splice=True,
-                                  isize_cutoff=isz)
+            hits = assign_alleles_auto(chunk, vt, baseq=baseq, splice=True,
+                                       isize_cutoff=isz, device=device)
             per_contig_bam_hits[c].append((bam_i, chunk, hits))
             kept_counts[(bam_i, c)] = len(hits)
             if len(hits):
