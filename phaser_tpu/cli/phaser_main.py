@@ -86,8 +86,12 @@ def main(argv=None) -> int:
         gw_phase_vcf_min_confidence=args.gw_phase_vcf_min_confidence,
         gw_af_field=args.gw_af_field, chr_prefix=args.chr_prefix,
         show_warning=args.show_warning)
+    if args.process_slow == 1:
+        from ..engine.slow_mode import run_phaser_slow as _run
+    else:
+        _run = run_phaser
     try:
-        res = run_phaser(
+        res = _run(
             vcf=args.vcf, bam=args.bam, sample=args.sample, o=args.o,
             mapq=args.mapq, baseq=args.baseq, paired_end=args.paired_end,
             isize=args.isize, blacklist=args.blacklist,

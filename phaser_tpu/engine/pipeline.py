@@ -29,6 +29,7 @@ from .output_stage import (BlockOutputWriter, PhaserOptions,
 from .phasing import phase_v3
 from .varmap import build_variant_table
 from ..mapper.dispatch import assign_alleles_auto
+from ..utils.trace import Tracer
 from .vcf_writer import write_phased_vcf
 
 
@@ -60,10 +61,11 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                blacklist: str = "", haplo_count_blacklist: str = "",
                haplo_count_bam_exclude: str = "", chrom: str = "",
                opts: Optional[PhaserOptions] = None, device: str = "host",
-               log=print) -> PhaserResult:
+               pi_block_value: int = 0, log=print) -> PhaserResult:
     opts = opts or PhaserOptions()
     t0 = time.time()
     res = PhaserResult()
+    tracer = Tracer()
 
     if opts.id_separator == ":" or opts.id_separator == "":
         raise ValueError("ID separator must not be ':' or blank.")
@@ -101,7 +103,9 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     # ---- #1 VCF filtering
     log("#1. Loading heterozygous variants into intervals...")
     bl = IntervalSet.from_bed(blacklist) if blacklist else None
-    filtered = vcfio.het_filtered_lines(vcf, sample_column, chrom or None, bl)
+    with tracer.stage("#1 vcf filter", "lines"):
+        filtered = vcfio.het_filtered_lines(vcf, sample_column, chrom or None, bl)
+    tracer.add("#1 vcf filter", len(filtered), "lines")
     set_haplo_blacklist = set()
     if haplo_count_blacklist:
         hbl = IntervalSet.from_bed(haplo_count_blacklist)
@@ -142,7 +146,9 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             zip(bam_list, mapq_list, isize_list, paired_list)):
         log("     file: %s" % xbam)
         log("          minimum mapq: %s" % mq)
-        bd = bamio.read_bam(xbam)
+        with tracer.stage("#2 bam decode", "reads"):
+            bd = bamio.read_bam(xbam)
+        tracer.add("#2 bam decode", len(bd), "reads")
         excl_flag = bamio.FLAG_UNMAPPED
         if opts.remove_dups == 1:
             excl_flag |= bamio.FLAG_DUP
@@ -163,8 +169,10 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     ((bd.flag & req_flag) == req_flag) &
                     (bd.mapq >= int(mq)))
             chunk = bd.select(keep)
-            hits = assign_alleles_auto(chunk, vt, baseq=baseq, splice=True,
-                                       isize_cutoff=isz, device=device)
+            with tracer.stage("#2 allele assignment", "reads"):
+                hits = assign_alleles_auto(chunk, vt, baseq=baseq, splice=True,
+                                           isize_cutoff=isz, device=device)
+            tracer.add("#2 allele assignment", len(chunk), "reads")
             per_contig_bam_hits[c].append((bam_i, chunk, hits))
             kept_counts[(bam_i, c)] = len(hits)
             if len(hits):
@@ -231,8 +239,11 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     res.noise_e = noise_e
     log("     sequencing noise level estimated at %f" % noise_e)
 
-    contig_states = [(vr, build_connections(vr, noise_e, opts.cc_threshold))
-                     for vr, _ in contig_states]
+    with tracer.stage("#3 connections", "pairs"):
+        contig_states = [(vr, build_connections(vr, noise_e, opts.cc_threshold))
+                         for vr, _ in contig_states]
+    tracer.add("#3 connections",
+               sum(c.n_pairs for _, c in contig_states), "pairs")
 
     res.dropped_connections = write_variant_connections(o, contig_states)
     log("     %d variant connections dropped because of conflicting "
@@ -245,22 +256,27 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     log("#4. Identifying haplotype blocks...")
     log("#5. Phasing blocks...")
     final = []  # (vr, conn, [(v, allele_char)...])
-    for vr, conn in contig_states:
-        blocks = find_blocks(conn, vr.vt)
-        for block in blocks:
-            vconn = {v: conn.adj[v] for v in block if v in conn.adj}
-            ac = {}
-            for v in block:
-                for a in (0, 1):
-                    if (v, a) in conn.allele_conn:
-                        ac[(v, a)] = conn.allele_conn[(v, a)]
-            for phased in phase_v3(block, vconn, ac, opts.max_block_size):
-                final.append((vr, conn, phased))
+    with tracer.stage("#4/#5 blocks+phasing", "blocks"):
+        for vr, conn in contig_states:
+            blocks = find_blocks(conn, vr.vt)
+            tracer.add("#4/#5 blocks+phasing", len(blocks), "blocks")
+            for block in blocks:
+                vconn = {v: conn.adj[v] for v in block if v in conn.adj}
+                ac = {}
+                for v in block:
+                    for a in (0, 1):
+                        if (v, a) in conn.allele_conn:
+                            ac[(v, a)] = conn.allele_conn[(v, a)]
+                for phased in phase_v3(block, vconn, ac, opts.max_block_size):
+                    final.append((vr, conn, phased))
 
     # ---- #6 outputs
     log("#6. Outputting haplotypes...")
+    tracer_stage_out = tracer.stage("#6 outputs", "blocks")
+    tracer_stage_out.__enter__()
     writer = BlockOutputWriter(o, opts, bam_list, bam_names, excl,
                                set_haplo_blacklist)
+    writer.state.block_count = pi_block_value
     for vr, conn, phased in final:
         writer.process_block(vr, conn, phased)
     res.n_blocks = writer.state.block_count
@@ -268,6 +284,7 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     if opts.unphased_vars == 1:
         writer.write_singletons(contig_states)
     writer.close()
+    tracer_stage_out.__exit__(None, None, None)
 
     # ---- #7 VCF
     if opts.write_vcf == 1:
@@ -277,11 +294,15 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             vt = vr.vt
             for i, uid in enumerate(vt.unique_ids):
                 rsid_lookup[uid] = vt.rsids_out[i]
-        res.unphased_phased, res.phase_corrections = write_phased_vcf(
-            vcf, sample_column, o, chrom, writer.state, opts,
-            csi_index=csi_index, rsid_lookup=rsid_lookup)
+        with tracer.stage("#7 vcf write", "lines"):
+            res.unphased_phased, res.phase_corrections = write_phased_vcf(
+                vcf, sample_column, o, chrom, writer.state, opts,
+                csi_index=csi_index, rsid_lookup=rsid_lookup)
 
     total_time = time.time() - t0
+    tracer.finish()
+    for line in tracer.summary_lines():
+        log(line)
     log("")
     log("     COMPLETED using %d reads in %d seconds"
         % (total_reads, total_time))

@@ -235,14 +235,20 @@ def generate(seed: int = 0,
             pos1, seq1, cig1, _ = m1
             # substitution errors + quals
             def finish(seq: str) -> Tuple[str, List[int]]:
-                s = list(seq)
-                quals = []
-                for i in range(len(s)):
-                    if rng.random() < error_rate:
-                        s[i] = str(rng.choice([b for b in BASES if b != s[i]]))
-                    q = int(rng.choice([38, 38, 38, 30, 20, 8]))
-                    quals.append(q)
-                return "".join(s), quals
+                n_b = len(seq)
+                quals = rng.choice([38, 38, 38, 30, 20, 8], size=n_b)
+                err = rng.random(n_b) < error_rate
+                if err.any():
+                    s = np.frombuffer(seq.encode(), np.uint8).copy()
+                    # substitute with the "next" base cyclically + random skip
+                    shift = rng.integers(1, 4, size=int(err.sum()))
+                    base_arr = np.frombuffer(b"ACGT", np.uint8)
+                    cur = s[err]
+                    cur_idx = np.searchsorted(base_arr, cur)
+                    cur_idx[cur_idx > 3] = 0
+                    s[err] = base_arr[(cur_idx + shift) % 4]
+                    seq = s.tobytes().decode()
+                return seq, [int(q) for q in quals]
 
             seq1, q1 = finish(seq1)
             flag1 = 0

@@ -1,0 +1,54 @@
+"""--process_slow per-chromosome mode: merged outputs + block-index
+continuity. (Noise is per-chromosome in this mode — the reference warns the
+results may differ slightly from the fast path, so we check structure and
+count-level invariants, not byte equality with fast mode.)"""
+
+import os
+
+import datagen
+from phaser_tpu.engine.output_stage import PhaserOptions
+from phaser_tpu.engine.pipeline import run_phaser
+from phaser_tpu.engine.slow_mode import list_contigs, run_phaser_slow
+from phaser_tpu.io import bgzf
+
+
+def test_slow_mode_merge(tmp_path):
+    vcf, bam, data = datagen.write_fixture_dir(
+        str(tmp_path), seed=61, contigs=("chr20", "chr21"), contig_len=15000,
+        n_variants_per_contig=60, n_reads_per_contig=800)
+    assert list_contigs(vcf) == ["chr20", "chr21"]
+    fast = str(tmp_path / "fast")
+    slow = str(tmp_path / "slow")
+    # as_q_cutoff=0: the AS quantile is per-run, so disabling it makes
+    # allelic counts mode-invariant (noise only affects connections)
+    opts = PhaserOptions(as_q_cutoff=0)
+    run_phaser(vcf=vcf, bam=bam, sample=data.sample, o=fast, mapq="10",
+               baseq=10, paired_end="1", opts=opts, log=lambda *a: None)
+    run_phaser_slow(vcf=vcf, bam=bam, sample=data.sample, o=slow, mapq="10",
+                    baseq=10, paired_end="1", opts=opts, log=lambda *a: None)
+    # allelic counts are noise-independent => identical across modes
+    assert open(fast + ".allelic_counts.txt").read() == \
+        open(slow + ".allelic_counts.txt").read()
+    # per-contig intermediates cleaned up
+    assert not os.path.exists(slow + "chr20.haplotypes.txt")
+    # merged VCF: same line count as fast mode, PI strictly unique per block
+    sv = bgzf.decompress_all(open(slow + ".vcf.gz", "rb").read()).decode().splitlines()
+    fv = bgzf.decompress_all(open(fast + ".vcf.gz", "rb").read()).decode().splitlines()
+    assert len(sv) == len(fv)
+    assert os.path.exists(slow + ".vcf.gz.tbi")
+    pis = set()
+    n_hap_rows = 0
+    for l in open(slow + ".haplotypes.txt").read().splitlines()[1:]:
+        if l.split("\t")[15] != "nan":
+            n_hap_rows += 1
+    for l in sv:
+        if l.startswith("#"):
+            continue
+        f = l.split("\t")
+        fmt = f[8].split(":")
+        s = f[9].split(":")
+        if "PI" in fmt:
+            v = s[fmt.index("PI")]
+            if v not in (".", ""):
+                pis.add(int(v))
+    assert len(pis) == n_hap_rows  # block ids unique across contigs
