@@ -51,7 +51,10 @@ def _list_to_str(x, sep=",") -> str:
 def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
                 pc: int = 1, min_cov: int = 8, chrom: str = "",
                 bs: int = 10000, ignore_v: int = 0, bs_seed: int = 0,
-                log=print) -> None:
+                engine: str = "numpy", log=print) -> None:
+    """engine='jax' batches all bootstrap draws on the device
+    (kernels.bootstrap); point estimates and test statistics are identical,
+    CI bounds use the device RNG."""
     df_map = pd.read_csv(sample_map, sep="\t", index_col=False)
     dict_map = dict(zip(df_map["vcf_sample"], df_map["bed_sample"]))
 
@@ -94,6 +97,7 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
             break
 
     results = []
+    pending = []  # jax engine: bootstrap all pairs in one batched dispatch
     for xindex in df_pairs.index:
         row_test = df_pairs.loc[xindex]
         if row_test["gene_id"] not in df_phaser.index:
@@ -141,6 +145,13 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
                     phaser_counts[1][1].append(int(counts[1]))
 
             abs_afcs = [list(map(abs, afcs[0])), list(map(abs, afcs[1]))]
+            if engine == "jax":
+                pending.append(dict(
+                    xindex=xindex, name=row_phaser["name"],
+                    var_id=row_test["var_id"], var_chr=var_chr,
+                    var_pos=var_pos, afcs=afcs, abs_afcs=abs_afcs,
+                    phaser_counts=phaser_counts, ids=ids))
+                continue
             rng = np.random.default_rng([bs_seed, int(xindex)])
             het_ci = _bootstrap_ci(afcs[0], bs, rng, True)
             het_abs_ci = _bootstrap_ci(abs_afcs[0], bs, rng)
@@ -157,6 +168,37 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
                  _list_to_str(phaser_counts[1][0]),
                  _list_to_str(phaser_counts[1][1]),
                  _list_to_str(ids[0]), _list_to_str(ids[1])])
+
+    if engine == "jax" and pending:
+        from ..kernels.bootstrap import bootstrap_cis_device
+        cohorts = []
+        for pdta in pending:
+            cohorts += [np.asarray(pdta["afcs"][0], float),
+                        np.asarray(pdta["abs_afcs"][0], float),
+                        np.asarray(pdta["afcs"][1], float),
+                        np.asarray(pdta["abs_afcs"][1], float)]
+        cis = bootstrap_cis_device(cohorts, bs, seed=bs_seed)
+        for k, pdta in enumerate(pending):
+            het, het_abs, hom, hom_abs = cis[4 * k:4 * k + 4]
+
+            def _mid(vals):
+                return float(np.median(vals)) if len(vals) else float("nan")
+
+            afcs, abs_afcs = pdta["afcs"], pdta["abs_afcs"]
+            het_ci = [het[0], _mid(afcs[0]), het[1], het[2]]
+            het_abs_ci = [het_abs[0], _mid(abs_afcs[0]), het_abs[1]]
+            hom_ci = [hom[0], _mid(afcs[1]), hom[1]]
+            hom_abs_ci = [hom_abs[0], _mid(abs_afcs[1]), hom_abs[1]]
+            stat, pval = ranksums(abs_afcs[0], abs_afcs[1])
+            pc_ = pdta["phaser_counts"]
+            results.append(
+                [pdta["xindex"], pdta["name"], pdta["var_id"],
+                 pdta["var_chr"], pdta["var_pos"], len(afcs[0]), len(afcs[1]),
+                 pval] + het_ci + het_abs_ci + hom_ci + hom_abs_ci +
+                [_list_to_str(afcs[0]), _list_to_str(afcs[1]),
+                 _list_to_str(pc_[0][0]), _list_to_str(pc_[0][1]),
+                 _list_to_str(pc_[1][0]), _list_to_str(pc_[1][1]),
+                 _list_to_str(pdta["ids"][0]), _list_to_str(pdta["ids"][1])])
 
     df_result = pd.DataFrame(results, columns=[
         "xindex", "gene", "var_id", "var_chr", "var_pos", "var_het_n",

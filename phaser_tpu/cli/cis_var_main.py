@@ -21,10 +21,13 @@ def main(argv=None) -> int:
     p.add_argument("--ignore_v", type=int, default=0)
     p.add_argument("--t", type=int, default=1)
     p.add_argument("--bs_seed", type=int, default=0)
+    p.add_argument("--engine", default="numpy", choices=["numpy", "jax"],
+                   help="Bootstrap engine (jax = batched device draws).")
     args = p.parse_args(argv)
     run_cis_var(args.bed, args.vcf, args.pairs, args.map, args.o, pc=args.pc,
                 min_cov=args.min_cov, chrom=args.chr, bs=args.bs,
-                ignore_v=args.ignore_v, bs_seed=args.bs_seed)
+                ignore_v=args.ignore_v, bs_seed=args.bs_seed,
+                engine=args.engine)
     return 0
 
 

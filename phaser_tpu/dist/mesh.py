@@ -44,6 +44,72 @@ def pad_to_multiple(a: np.ndarray, mult: int, axis: int = 0,
     return np.pad(a, widths, constant_values=fill)
 
 
+def sharded_phasing_step(mesh: Mesh, codes, quals, refpos, vpos, ind_codes,
+                         n_ind, baseq: int, band: int = 8,
+                         score_block: int = 8):
+    """One full sharded pipeline step, dryrun/compile target for the driver:
+
+      per shard: allele assignment -> per-(variant, allele-class) counts and
+      BANDED pair-configuration counts (variant pairs within `band` table
+      entries — connections are bounded by fragment span, so the pair tensor
+      is a dense (M, band, 9) band, psum-able across the mesh exactly like
+      the reference's pool merges) -> psum -> batched 2^(K-1) phase-config
+      scoring on the MXU for the first `score_block`-variant window.
+
+    Returns (allele_counts (M,3), pair_band (M,band,9), scores (2^(K-1),)).
+    """
+    from jax.experimental.shard_map import shard_map
+    from ..kernels.alleles import assign_alleles_device
+    from ..kernels.phasescore import enumerate_scores
+
+    n_vars = int(vpos.shape[0])
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("reads"), P("reads"), P("reads"), P(), P(), P()),
+        out_specs=(P(), P()))
+    def step(codes, quals, refpos, vpos, ind_codes, n_ind):
+        vidx, allele = assign_alleles_device(codes, quals, refpos, vpos,
+                                             ind_codes, n_ind, baseq)
+        hit = allele < 3
+        flat_v = jnp.where(hit, vidx, 0)
+        flat_a = jnp.where(hit, allele, 0)
+        counts = jnp.zeros((n_vars, 3), jnp.int32)
+        counts = counts.at[flat_v.reshape(-1), flat_a.reshape(-1)].add(
+            hit.reshape(-1).astype(jnp.int32))
+        # banded within-read pair counts: for each read row, all hit pairs
+        # (l1 < l2) whose variant indices differ by 1..band
+        N, L = vidx.shape
+        pair = jnp.zeros((n_vars, band, 9), jnp.int32)
+        vi = vidx[:, :, None]          # (N, L, 1)
+        vj = vidx[:, None, :]          # (N, 1, L)
+        ai = allele[:, :, None]
+        aj = allele[:, None, :]
+        d = vj - vi
+        ok = (ai < 3) & (aj < 3) & (d >= 1) & (d <= band)
+        band_i = jnp.where(ok, vi, 0).reshape(-1)
+        band_d = jnp.where(ok, d - 1, 0).reshape(-1)
+        cfg = jnp.where(ok, ai * 3 + aj, 0).reshape(-1)
+        pair = pair.at[band_i, band_d, cfg].add(ok.reshape(-1).astype(jnp.int32))
+        return (jax.lax.psum(counts, "reads"), jax.lax.psum(pair, "reads"))
+
+    counts, pair = step(codes, quals, refpos, vpos, ind_codes, n_ind)
+    # phase-config scoring for the first score_block variants: build a toy
+    # allele adjacency from the merged band and score every complement class
+    K = score_block
+    M = jnp.zeros((2 * K, 2 * K), jnp.float32)
+    for dd in range(min(band, K - 1)):
+        cis = (pair[:K - dd - 1, dd, 0] + pair[:K - dd - 1, dd, 4]) > 0
+        for i in range(K - dd - 1):
+            j = i + dd + 1
+            M = M.at[i * 2, j * 2].set(cis[i].astype(jnp.float32))
+            M = M.at[j * 2, i * 2].set(cis[i].astype(jnp.float32))
+            M = M.at[i * 2 + 1, j * 2 + 1].set(cis[i].astype(jnp.float32))
+            M = M.at[j * 2 + 1, i * 2 + 1].set(cis[i].astype(jnp.float32))
+    scores = enumerate_scores(M, K)
+    return counts, pair, scores
+
+
 def sharded_allele_counts(mesh: Mesh, codes, quals, refpos, vpos, ind_codes,
                           n_ind, baseq: int):
     """Full sharded hot path: per-device allele assignment + psum'd

@@ -1,0 +1,34 @@
+"""cis_var jax bootstrap engine: deterministic columns identical to the
+numpy engine; CI bounds statistically consistent."""
+
+import pandas as pd
+
+from phaser_tpu.analysis.cis_var import run_cis_var
+from test_pop_parity import _make_cis_var_inputs
+
+DET = ["gene", "var_id", "var_pos", "var_het_n", "var_hom_n",
+       "het_hom_pvalue", "var_het_afc", "var_het_abs_afc", "var_hom_afc",
+       "var_hom_abs_afc", "var_het_afcs", "var_hom_afcs",
+       "var_het_sample_ids", "var_hom_sample_ids"]
+
+
+def test_cis_var_jax_engine(tmp_path):
+    bed, vcf, pairs, smap = _make_cis_var_inputs(tmp_path, n_samples=30,
+                                                 n_genes=6, n_vars=12)
+    a = str(tmp_path / "np.txt")
+    b = str(tmp_path / "jx.txt")
+    run_cis_var(bed, vcf, pairs, smap, a, bs=500, log=lambda *x: None)
+    run_cis_var(bed, vcf, pairs, smap, b, bs=500, engine="jax",
+                log=lambda *x: None)
+    A = pd.read_csv(a, sep="\t")
+    B = pd.read_csv(b, sep="\t")
+    for c in DET:
+        assert A[c].fillna("").tolist() == B[c].fillna("").tolist(), c
+    m = A["var_het_n"] > 3
+    if m.any():
+        delta = (A["var_het_afc_lower"] - B["var_het_afc_lower"])[m].abs()
+        # bounds from different RNGs but same distribution
+        assert float(delta.max()) < 2.0
+        # ordering invariant: lower <= point <= upper
+        assert (B["var_het_afc_lower"][m] <= B["var_het_afc"][m] + 1e-6).all()
+        assert (B["var_het_afc"][m] <= B["var_het_afc_upper"][m] + 1e-6).all()

@@ -82,4 +82,16 @@ def test_gene_ae_invariant_to_read_index_relabeling(tmp_path):
                 log=lambda *a: None)
     run_gene_ae(our_prefix + ".haplotypic_counts.txt", features, out_b,
                 log=lambda *a: None)
-    assert open(out_a).read() == open(out_b).read()
+
+    def canon(path):
+        # the variants column inherits singleton row order, which in the
+        # reference is hash-order (varies run to run); sort within the cell
+        out = []
+        for line in open(path).read().splitlines():
+            c = line.split("\t")
+            if len(c) >= 10 and c[9]:
+                c[9] = ",".join(sorted(c[9].split(",")))
+            out.append("\t".join(c))
+        return out
+
+    assert canon(out_a) == canon(out_b)
