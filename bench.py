@@ -120,6 +120,8 @@ def bench_reference(data, vt):
 
 
 def main():
+    from phaser_tpu.utils import memtune
+    memtune.setup(prefault_mb=1024)
     data = gen_data()
     bd, vt = prepare(data)
     import jax

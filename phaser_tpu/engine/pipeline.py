@@ -67,6 +67,16 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     res = PhaserResult()
     tracer = Tracer()
 
+    # tune the allocator + pre-fault the working set (lazily-backed VMs
+    # serve first-touch faults remotely; see utils/memtune)
+    from ..utils import memtune
+    bam_bytes = 0
+    for x in bam.split(","):
+        if x and os.path.isfile(x):
+            u = memtune.bgzf_uncompressed_size(x)
+            bam_bytes += u if u > 0 else os.path.getsize(x) * 4
+    memtune.setup(prefault_mb=min(int(bam_bytes * 5 / 1e6) + 256, 4096))
+
     if opts.id_separator == ":" or opts.id_separator == "":
         raise ValueError("ID separator must not be ':' or blank.")
     contig_ban = [opts.id_separator, ":"]
@@ -168,8 +178,8 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             keep = ((bd.refid == tid) & ((bd.flag & excl_flag) == 0) &
                     ((bd.flag & req_flag) == req_flag) &
                     (bd.mapq >= int(mq)))
-            chunk = bd.select(keep)
             with tracer.stage("#2 allele assignment", "reads"):
+                chunk = bd.select(keep)
                 hits = assign_alleles_auto(chunk, vt, baseq=baseq, splice=True,
                                            isize_cutoff=isz, device=device)
             tracer.add("#2 allele assignment", len(chunk), "reads")
@@ -213,16 +223,18 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
 
     contig_states = []
     total_reads = 0
-    for c in contig_order:
-        vt = tables[c]
-        per_bam = [(b, chunk, h) for (b, chunk, h) in per_contig_bam_hits[c]
-                   if chunk is not None]
-        rows = build_contig_rows(
-            vt, per_bam, as_cutoffs,
-            {b: seq_offsets[(b, c)] for b, _, _ in per_bam})
-        total_reads += len(rows)
-        vr = build_variant_reads(rows, excl)
-        contig_states.append((vr, None))
+    with tracer.stage("#2 accumulate", "rows"):
+        for c in contig_order:
+            vt = tables[c]
+            per_bam = [(b, chunk, h) for (b, chunk, h) in per_contig_bam_hits[c]
+                       if chunk is not None]
+            rows = build_contig_rows(
+                vt, per_bam, as_cutoffs,
+                {b: seq_offsets[(b, c)] for b, _, _ in per_bam})
+            total_reads += len(rows)
+            vr = build_variant_reads(rows, excl)
+            contig_states.append((vr, None))
+    tracer.add("#2 accumulate", total_reads, "rows")
     res.total_reads = total_reads
     log("          retrieved %d reads" % total_reads)
 

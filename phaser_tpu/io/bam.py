@@ -75,15 +75,21 @@ class BamData:
         if idx.dtype == bool:
             idx = np.flatnonzero(idx)
         co, so = self.cigar_off, self.seq_off
-        cig_parts, seq_parts, qual_parts = [], [], []
-        new_co = np.zeros(len(idx) + 1, np.int64)
-        new_so = np.zeros(len(idx) + 1, np.int64)
-        for k, i in enumerate(idx):
-            cig_parts.append(self.cigar_flat[co[i]:co[i + 1]])
-            seq_parts.append(self.seq_flat[so[i]:so[i + 1]])
-            qual_parts.append(self.qual_flat[so[i]:so[i + 1]])
-            new_co[k + 1] = new_co[k] + (co[i + 1] - co[i])
-            new_so[k + 1] = new_so[k] + (so[i + 1] - so[i])
+
+        def gather_ragged(flat, off):
+            lens = off[idx + 1] - off[idx]
+            new_off = np.zeros(len(idx) + 1, np.int64)
+            np.cumsum(lens, out=new_off[1:])
+            total = int(new_off[-1])
+            if total == 0:
+                return flat[:0], new_off
+            within = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], lens)
+            src = np.repeat(off[idx], lens) + within
+            return flat[src], new_off
+
+        new_cig, new_co = gather_ragged(self.cigar_flat, co)
+        new_seq, new_so = gather_ragged(self.seq_flat, so)
+        new_qual, _ = gather_ragged(self.qual_flat, so)
         return BamData(
             ref_names=self.ref_names, ref_lengths=self.ref_lengths,
             header_text=self.header_text,
@@ -91,11 +97,8 @@ class BamData:
             flag=self.flag[idx], tlen=self.tlen[idx],
             as_score=self.as_score[idx], has_as=self.has_as[idx],
             names=[self.names[i] for i in idx],
-            cigar_flat=np.concatenate(cig_parts) if cig_parts else np.zeros(0, np.uint32),
-            cigar_off=new_co,
-            seq_flat=np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8),
-            qual_flat=np.concatenate(qual_parts) if qual_parts else np.zeros(0, np.uint8),
-            seq_off=new_so,
+            cigar_flat=new_cig, cigar_off=new_co,
+            seq_flat=new_seq, qual_flat=new_qual, seq_off=new_so,
         )
 
 

@@ -85,7 +85,7 @@ def expand_refpos(bd: BamData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     read_before = seg_excl_cumsum(read_adv)
     ref_before = seg_excl_cumsum(ref_adv)
 
-    refpos1 = np.zeros(bd.seq_off[-1], np.int64)
+    refpos1 = np.zeros(bd.seq_off[-1], np.int32)
     amask = _ALIGNED[opc]
     if amask.any():
         a_lens = lens[amask]
@@ -97,7 +97,7 @@ def expand_refpos(bd: BamData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.concatenate(([0], np.cumsum(a_lens)[:-1])), a_lens)
         base_idx = np.repeat(bd.seq_off[a_read] + a_rb, a_lens) + within
         gpos = np.repeat(bd.pos[a_read].astype(np.int64) + 1 + a_gb, a_lens) + within
-        refpos1[base_idx] = gpos
+        refpos1[base_idx] = gpos.astype(np.int32)
 
     has_ins = np.zeros(n_reads, bool)
     np.logical_or.at(has_ins, op_read, opc == OP_I)
@@ -206,16 +206,28 @@ def assign_alleles(bd: BamData, vt: VariantTable, *, baseq: int,
     exact_var_idx = np.flatnonzero(~simple_var)
 
     # ---------------- fast path: aligned single bases at simple-variant pos
-    base_read = np.repeat(np.arange(n_reads, dtype=np.int64), np.diff(bd.seq_off))
-    aligned = refpos1 > 0
-    use = aligned & keep_read[base_read] & ~has_ins[base_read]
-    b_gpos = refpos1[use]
-    b_read = base_read[use]
-    b_code = codes[use]
+    # Pregate with a genome-position membership mask so all large temporaries
+    # are bools; only actual hit bases (a tiny fraction) become index arrays.
+    spos = vt.pos
+    max_pos = int(spos[-1]) if len(spos) else 0
+    pos_mask = np.zeros(max_pos + 2, bool)
+    pos_mask[spos] = True
+    hit_full = pos_mask[np.minimum(refpos1, max_pos + 1)]
+    hit_full &= refpos1 > 0
+    # per-base read eligibility without materializing a per-base read index
+    read_ok = keep_read & ~has_ins
+    if not read_ok.all():
+        # zero out bases of ineligible reads via their spans
+        bad = np.flatnonzero(~read_ok)
+        for ri in bad:
+            hit_full[bd.seq_off[ri]:bd.seq_off[ri + 1]] = False
+    b_idx = np.flatnonzero(hit_full)
+    b_gpos = refpos1[b_idx].astype(np.int64)
+    b_read = np.searchsorted(bd.seq_off, b_idx, side="right") - 1
+    b_code = codes[b_idx]
 
     # match positions against simple variants (there may be several table
     # entries at one position)
-    spos = vt.pos
     lo = np.searchsorted(spos, b_gpos, side="left")
     hi = np.searchsorted(spos, b_gpos, side="right")
     counts = hi - lo
