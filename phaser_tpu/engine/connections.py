@@ -115,8 +115,55 @@ def compute_overlap_ranks(vr: VariantReads) -> np.ndarray:
     return rank
 
 
+def _device_pair_counts(vr: VariantReads, uniq_pk: np.ndarray,
+                        n_vars: int) -> Optional[np.ndarray]:
+    """Pair-config counting on device (kernels.paircount); reads with more
+    hits than the K cap fall back to the host combos. Returns (P, 3, 3)
+    counts aligned to uniq_pk, or None when unavailable."""
+    try:
+        import jax.numpy as jnp
+        from ..kernels.paircount import (count_pair_configs, emit_pairs,
+                                         pack_read_hits)
+    except Exception:
+        return None
+    K = 24
+    var_mat, allele_mat, overflow = pack_read_hits(
+        vr.h_uid, vr.h_var, vr.h_allele, K)
+    P = len(uniq_pk)
+    counts = np.zeros((P, 3, 3), np.int64)
+    if var_mat.shape[0]:
+        lo, hi, al, ah = emit_pairs(jnp.asarray(var_mat),
+                                    jnp.asarray(allele_mat), K)
+        max_pairs = 1
+        while max_pairs < max(P * 2, 64):
+            max_pairs *= 2
+        keys, dev_counts, n_uniq = count_pair_configs(lo, hi, al, ah, n_vars,
+                                                      max_pairs)
+        n_uniq = int(n_uniq)
+        if n_uniq > max_pairs:
+            return None
+        keys = np.asarray(keys[:n_uniq])
+        dev_counts = np.asarray(dev_counts[:n_uniq]).reshape(n_uniq, 3, 3)
+        pidx = np.searchsorted(uniq_pk, keys)
+        ok = (pidx < P) & (uniq_pk[np.minimum(pidx, P - 1)] == keys)
+        np.add.at(counts, pidx[ok], dev_counts[ok])
+    if len(overflow):
+        sel = np.isin(vr.h_uid, overflow)
+        order = np.argsort(vr.h_uid[sel], kind="stable")
+        ci, cj, cai, caj = _pair_combos(vr.h_uid[sel][order],
+                                        vr.h_var[sel][order],
+                                        vr.h_allele[sel][order])
+        if len(ci):
+            ck = ci * n_vars + cj
+            pidx = np.searchsorted(uniq_pk, ck)
+            ok = (pidx < P) & (uniq_pk[np.minimum(pidx, P - 1)] == ck)
+            np.add.at(counts, (pidx[ok], cai[ok], caj[ok]), 1)
+    return counts
+
+
 def build_connections(vr: VariantReads, noise_e: float,
-                      cc_threshold: float) -> ContigConnections:
+                      cc_threshold: float,
+                      device: str = "host") -> ContigConnections:
     vt = vr.vt
     var_rank = compute_overlap_ranks(vr)
 
@@ -134,16 +181,20 @@ def build_connections(vr: VariantReads, noise_e: float,
         p_lo = p_hi = np.zeros(0, np.int64)
 
     # ---- counts over deduplicated hits (all allele classes)
-    counts = np.zeros((P, 3, 3), np.int64)
-    if P:
-        horder = np.argsort(vr.h_uid, kind="stable")
-        hv, ha, hu = vr.h_var[horder], vr.h_allele[horder], vr.h_uid[horder]
-        ci, cj, cai, caj = _pair_combos(hu, hv, ha)
-        if len(ci):
-            ck = ci * len(vt) + cj
-            pidx = np.searchsorted(uniq_pk, ck)
-            inuni = (pidx < P) & (uniq_pk[np.minimum(pidx, P - 1)] == ck)
-            np.add.at(counts, (pidx[inuni], cai[inuni], caj[inuni]), 1)
+    counts = None
+    if P and device != "host":
+        counts = _device_pair_counts(vr, uniq_pk, len(vt))
+    if counts is None:
+        counts = np.zeros((P, 3, 3), np.int64)
+        if P:
+            horder = np.argsort(vr.h_uid, kind="stable")
+            hv, ha, hu = vr.h_var[horder], vr.h_allele[horder], vr.h_uid[horder]
+            ci, cj, cai, caj = _pair_combos(hu, hv, ha)
+            if len(ci):
+                ck = ci * len(vt) + cj
+                pidx = np.searchsorted(uniq_pk, ck)
+                inuni = (pidx < P) & (uniq_pk[np.minimum(pidx, P - 1)] == ck)
+                np.add.at(counts, (pidx[inuni], cai[inuni], caj[inuni]), 1)
 
     config_a = counts[:, 0, 0] + counts[:, 1, 1]
     config_b = counts[:, 0, 1] + counts[:, 1, 0]

@@ -44,10 +44,16 @@ def resolve_phase(variants: Sequence[int], ac: AlleleConn,
     exactly one node per variant, the phase is read-consistent."""
     if clean_connections:
         sv = set(variants)
+        # iterate sub-block variants directly (equivalent to filtering the
+        # whole-block dict: keys there are in sorted-variant (v,0),(v,1)
+        # order and sub-blocks are contiguous slices, so the first cleaned
+        # key — the component seed — is identical)
         cleaned: AlleleConn = {}
-        for key in ac:
-            if key[0] in sv:
-                cleaned[key] = {c for c in ac[key] if c[0] in sv}
+        for v in variants:
+            for a in (0, 1):
+                key = (v, a)
+                if key in ac:
+                    cleaned[key] = {c for c in ac[key] if c[0] in sv}
         ac = cleaned
     if not ac:
         return None
@@ -89,6 +95,32 @@ def _score_configs(variants: Sequence[int], ac: AlleleConn,
     return np.einsum("si,ij,sj->s", V, M, V)
 
 
+def _device_full_enumeration(variants: Sequence[int], ac: AlleleConn,
+                             n: int) -> Optional[List[str]]:
+    """Full 2^(n-1) enumeration scored on device; same result contract as
+    the host path (unique best -> [config, inverse], tie -> sentinel)."""
+    try:
+        from ..kernels.phasescore import enumerate_scores
+    except Exception:
+        return None
+    local = {v: i for i, v in enumerate(variants)}
+    M = np.zeros((2 * n, 2 * n), np.float32)
+    for i, v in enumerate(variants):
+        for a in (0, 1):
+            for (w, b) in ac.get((v, a), ()):
+                j = local.get(w)
+                if j is not None and w != v:
+                    M[i * 2 + a, j * 2 + b] = 1.0
+    scores = np.asarray(enumerate_scores(M, n)).astype(np.int64)
+    max_support = int(scores.max())
+    best = np.flatnonzero(scores == max_support)
+    if len(best) == 1:
+        bits = int(best[0])
+        cfg = "0" + format(bits, "0%db" % (n - 1)) if n > 1 else "0"
+        return [cfg, inverse_config(cfg)]
+    return ["-" * n, "-" * n]
+
+
 def sub_block_phase(variants: Sequence[int], ac: AlleleConn,
                     sub_block_configs: Optional[List[List[str]]] = None,
                     attempt_resolve: bool = False) -> List[str]:
@@ -106,6 +138,12 @@ def sub_block_phase(variants: Sequence[int], ac: AlleleConn,
             if xhap is not None:
                 return xhap[0]
         n = len(variants)
+        if n >= 12:
+            # batched device scoring (kernels.phasescore): same enumeration
+            # order, exact integer scores on the MXU
+            result = _device_full_enumeration(variants, ac, n)
+            if result is not None:
+                return result
         # itertools.product("01", repeat=n) order, one per complement class:
         # exactly the configs starting with '0'
         configurations = []

@@ -252,7 +252,8 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     log("     sequencing noise level estimated at %f" % noise_e)
 
     with tracer.stage("#3 connections", "pairs"):
-        contig_states = [(vr, build_connections(vr, noise_e, opts.cc_threshold))
+        contig_states = [(vr, build_connections(vr, noise_e, opts.cc_threshold,
+                                                device=device))
                          for vr, _ in contig_states]
     tracer.add("#3 connections",
                sum(c.n_pairs for _, c in contig_states), "pairs")
