@@ -66,6 +66,16 @@ def get_lib():
         lib.bam_fill.argtypes = [c.c_void_p] + [c.c_void_p] * 16
         lib.bam_free.restype = None
         lib.bam_free.argtypes = [c.c_void_p]
+        lib.exact_assign.restype = c.c_int64
+        lib.exact_assign.argtypes = [
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_int, c.c_int,
+            c.c_int64, c.c_void_p, c.c_void_p,
+            c.c_int64, c.c_void_p, c.c_void_p,
+            c.c_int64, c.c_void_p, c.c_void_p]
+        lib.prefault_alloc.restype = c.c_void_p
+        lib.prefault_alloc.argtypes = [c.c_int64, c.c_int]
+        lib.prefault_free.argtypes = [c.c_void_p]
         lib.pack_reads_native.restype = None
         lib.pack_reads_native.argtypes = [
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,

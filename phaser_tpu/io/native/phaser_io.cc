@@ -6,6 +6,7 @@
 // (/root/reference/phaser/phaser.py:1346) with an in-process decoder that
 // feeds fixed-width int tensors. C API consumed via ctypes (no pybind11).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -327,6 +328,125 @@ void pack_reads_native(
     });
   }
   for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Exact allele extraction (the reference's split_read + identify_allele
+// string algorithm, /root/reference/phaser/read_variant_map.py:165-258) for
+// reads that need insertion splicing / deletion stripping — the host-Python
+// fallback's hot loop, at native speed.
+// ---------------------------------------------------------------------------
+
+static const char kNibbleChars[17] = "=ACMGRSVTWYHKDBN";
+
+struct Segment {
+  int64_t gstart = 0;         // genome offset of segment start (incl. gaps)
+  std::string pseudo;         // aligned bases + 'D' placeholders
+  std::vector<std::pair<int64_t, std::string>> insertions;  // (offset, bases)
+};
+
+// Emits one row per (read, variant) with a non-empty, non-"N" allele.
+// Returns number of rows, or -1 on capacity overflow.
+int64_t exact_assign(
+    int64_t n, const int32_t* pos1, const uint32_t* cigar,
+    const int64_t* cigar_off, const uint8_t* seq, const uint8_t* quals,
+    const int64_t* seq_off, int baseq, int splice,
+    int64_t n_vars, const int64_t* vpos, const int32_t* ref_len,
+    int64_t cap, int64_t* out_read, int64_t* out_var,
+    int64_t alleles_cap, char* out_alleles, int64_t* out_allele_off) {
+  int64_t n_rows = 0;
+  int64_t a_used = 0;
+  out_allele_off[0] = 0;
+  std::string bases;
+  std::vector<Segment> segments;
+  for (int64_t r = 0; r < n; r++) {
+    // splice==0: skip reads with N ops
+    bool hasN = false;
+    for (int64_t c = cigar_off[r]; c < cigar_off[r + 1]; c++)
+      if ((cigar[c] & 0xF) == 3) { hasN = true; break; }
+    if (!splice && hasN) continue;
+
+    int64_t slen = seq_off[r + 1] - seq_off[r];
+    bases.resize(slen);
+    for (int64_t k = 0; k < slen; k++) {
+      uint8_t q = quals[seq_off[r] + k];
+      bases[k] = (q >= (uint8_t)baseq) ? kNibbleChars[seq[seq_off[r] + k] & 0xF]
+                                       : 'N';
+    }
+    segments.clear();
+    segments.emplace_back();
+    int64_t genome_pos = 0, read_pos = 0, ref_span = 0;
+    for (int64_t c = cigar_off[r]; c < cigar_off[r + 1]; c++) {
+      int64_t len = cigar[c] >> 4;
+      switch (cigar[c] & 0xF) {
+        case 0: case 7: case 8:   // M/=/X
+          segments.back().pseudo.append(bases, read_pos, len);
+          read_pos += len; genome_pos += len; ref_span += len;
+          break;
+        case 3:                   // N: close segment
+          segments.emplace_back();
+          genome_pos += len; ref_span += len;
+          segments.back().gstart = genome_pos;
+          break;
+        case 2:                   // D
+          segments.back().pseudo.append(len, 'D');
+          genome_pos += len; ref_span += len;
+          break;
+        case 1: {                 // I
+          // dict semantics: a later insertion at the same offset replaces
+          // the earlier one (reference keys insertions by genome_pos-1)
+          auto& ins = segments.back().insertions;
+          if (!ins.empty() && ins.back().first == genome_pos - 1) {
+            ins.back().second = bases.substr(read_pos, len);
+          } else {
+            ins.emplace_back(genome_pos - 1, bases.substr(read_pos, len));
+          }
+          read_pos += len;
+          break;
+        }
+        case 4: read_pos += len; break;  // S
+        default: break;                  // H/P
+      }
+    }
+    // variant window [pos1-1, pos1+span] via binary search
+    int64_t p1 = pos1[r];
+    const int64_t* lo_it = std::lower_bound(vpos, vpos + n_vars, p1 - 1);
+    int64_t vi = lo_it - vpos;
+    for (; vi < n_vars && vpos[vi] <= p1 + ref_span; vi++) {
+      int64_t vp = vpos[vi];
+      int32_t rl = ref_len[vi];
+      for (const Segment& seg : segments) {
+        int64_t map_start = p1 + seg.gstart;
+        int64_t rs = vp - map_start;
+        int64_t re = vp + rl - map_start;
+        if (rs < 0 || re > (int64_t)seg.pseudo.size()) continue;
+        std::string read_seq = seg.pseudo.substr(rs, re - rs);
+        int64_t offset = 0;
+        for (const auto& ins : seg.insertions) {
+          if (ins.first >= rs && ins.first < re) {
+            int64_t insert_pos = (ins.first - rs) + offset + 1;
+            read_seq.insert(insert_pos, ins.second);
+            offset += (int64_t)ins.second.size();
+          }
+        }
+        read_seq.erase(std::remove(read_seq.begin(), read_seq.end(), 'D'),
+                       read_seq.end());
+        if (!read_seq.empty() && read_seq != "N") {
+          if (n_rows >= cap ||
+              a_used + (int64_t)read_seq.size() > alleles_cap)
+            return -1;
+          out_read[n_rows] = r;
+          out_var[n_rows] = vi;
+          memcpy(out_alleles + a_used, read_seq.data(), read_seq.size());
+          a_used += read_seq.size();
+          n_rows++;
+          out_allele_off[n_rows] = a_used;
+        }
+        break;
+      }
+    }
+  }
+  return n_rows;
 }
 
 // ---------------------------------------------------------------------------

@@ -176,6 +176,53 @@ def _exact_read_rows(pos1: int, seq: str, quals: np.ndarray,
     return out
 
 
+def _exact_rows_native(bd: BamData, sel: np.ndarray, vt: VariantTable,
+                       baseq: int, splice: bool):
+    """C++ exact path over the selected reads; returns [(read_idx, var_idx,
+    allele_str)] or None when the native library is unavailable."""
+    from ..io.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    sub = bd.select(sel)
+    n = len(sub)
+    pos1 = np.ascontiguousarray(sub.pos.astype(np.int32) + 1)
+    cig = np.ascontiguousarray(sub.cigar_flat, np.uint32)
+    coff = np.ascontiguousarray(sub.cigar_off, np.int64)
+    seq = np.ascontiguousarray(sub.seq_flat, np.uint8)
+    qual = np.ascontiguousarray(sub.qual_flat, np.uint8)
+    soff = np.ascontiguousarray(sub.seq_off, np.int64)
+    vpos = np.ascontiguousarray(vt.pos, np.int64)
+    rlen = np.ascontiguousarray(vt.ref_len, np.int32)
+    cap = max(int(sub.seq_off[-1]), 1024)
+    acap = cap * 4
+    ptr = ctypes.c_void_p
+    while True:
+        out_read = np.empty(cap, np.int64)
+        out_var = np.empty(cap, np.int64)
+        out_alleles = np.empty(acap, np.uint8)
+        out_off = np.empty(cap + 1, np.int64)
+        nr = lib.exact_assign(
+            n, pos1.ctypes.data_as(ptr), cig.ctypes.data_as(ptr),
+            coff.ctypes.data_as(ptr), seq.ctypes.data_as(ptr),
+            qual.ctypes.data_as(ptr), soff.ctypes.data_as(ptr),
+            baseq, 1 if splice else 0,
+            len(vt), vpos.ctypes.data_as(ptr), rlen.ctypes.data_as(ptr),
+            cap, out_read.ctypes.data_as(ptr), out_var.ctypes.data_as(ptr),
+            acap, out_alleles.ctypes.data_as(ptr), out_off.ctypes.data_as(ptr))
+        if nr >= 0:
+            break
+        cap *= 4
+        acap *= 4
+    blob = out_alleles.tobytes()
+    rows = []
+    for k in range(nr):
+        rows.append((int(sel[out_read[k]]), int(out_var[k]),
+                     blob[out_off[k]:out_off[k + 1]].decode()))
+    return rows
+
+
 def assign_alleles(bd: BamData, vt: VariantTable, *, baseq: int,
                    splice: bool = True, isize_cutoff: float = 0) -> ContigHits:
     """Compute all mapper rows for one contig's reads against its table."""
@@ -271,22 +318,32 @@ def assign_alleles(bd: BamData, vt: VariantTable, *, baseq: int,
             exact_reads.update(cand.tolist())
 
     if exact_reads:
-        for ri in sorted(exact_reads):
-            p1 = int(bd.pos[ri]) + 1
-            so, eo = bd.seq_off[ri], bd.seq_off[ri + 1]
-            seq = "".join(SEQ_NIBBLE_CHARS[c] for c in bd.seq_flat[so:eo])
-            quals = bd.qual_flat[so:eo]
-            cig = bd.cigar_flat[bd.cigar_off[ri]:bd.cigar_off[ri + 1]]
-            span = int(ref_span[ri])
-            vlo = int(np.searchsorted(spos, p1 - 1, side="left"))
-            vhi = int(np.searchsorted(spos, p1 + span + 1, side="right"))
-            for vi, allele in _exact_read_rows(p1, seq, quals, cig, vt,
-                                               vlo, vhi, baseq, splice):
+        sel = np.asarray(sorted(exact_reads), np.int64)
+        native_rows = _exact_rows_native(bd, sel, vt, baseq, splice)
+        if native_rows is not None:
+            for ri, vi, allele in native_rows:
                 if not has_ins[ri] and vt.is_simple[vi]:
                     continue  # fast path owns this row
                 e_rows_read.append(ri)
                 e_rows_vidx.append(vi)
                 e_rows_allele.append(allele)
+        else:
+            for ri in sel:
+                p1 = int(bd.pos[ri]) + 1
+                so, eo = bd.seq_off[ri], bd.seq_off[ri + 1]
+                seq = "".join(SEQ_NIBBLE_CHARS[c] for c in bd.seq_flat[so:eo])
+                quals = bd.qual_flat[so:eo]
+                cig = bd.cigar_flat[bd.cigar_off[ri]:bd.cigar_off[ri + 1]]
+                span = int(ref_span[ri])
+                vlo = int(np.searchsorted(spos, p1 - 1, side="left"))
+                vhi = int(np.searchsorted(spos, p1 + span + 1, side="right"))
+                for vi, allele in _exact_read_rows(p1, seq, quals, cig, vt,
+                                                   vlo, vhi, baseq, splice):
+                    if not has_ins[ri] and vt.is_simple[vi]:
+                        continue  # fast path owns this row
+                    e_rows_read.append(int(ri))
+                    e_rows_vidx.append(vi)
+                    e_rows_allele.append(allele)
 
     # ---------------- merge + canonical reference order
     all_read = np.concatenate([f_read, np.asarray(e_rows_read, np.int64)])
