@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id_separator", default="_")
     p.add_argument("--output_network", default="")
     p.add_argument("--process_slow", type=int, default=0)         # accepted; engine streams
+    p.add_argument("--resume", type=int, default=0,
+                   help="With --process_slow 1: skip contigs whose outputs "
+                        "already exist (phaser_tpu extension).")
     p.add_argument("--device", default="auto",
                    help="Compute device for hot kernels: auto|tpu|cpu|host "
                         "(phaser_tpu extension).")
@@ -87,7 +90,9 @@ def main(argv=None) -> int:
         gw_af_field=args.gw_af_field, chr_prefix=args.chr_prefix,
         show_warning=args.show_warning)
     if args.process_slow == 1:
-        from ..engine.slow_mode import run_phaser_slow as _run
+        from ..engine.slow_mode import run_phaser_slow
+        import functools
+        _run = functools.partial(run_phaser_slow, resume=bool(args.resume))
     else:
         _run = run_phaser
     try:

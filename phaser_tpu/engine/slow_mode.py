@@ -36,10 +36,25 @@ def list_contigs(vcf_path: str) -> List[str]:
     return seen
 
 
+def _existing_block_count(prefix: str) -> int:
+    """Blocks already written by a finished per-contig run (gw_confidence
+    != 'nan' rows of its haplotypes file) — lets --resume keep PI unique."""
+    path = prefix + ".haplotypes.txt"
+    n = 0
+    with open(path) as fh:
+        next(fh, None)
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) > 15 and cols[15] != "nan":
+                n += 1
+    return n
+
+
 def run_phaser_slow(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     baseq: int, paired_end: str, chrom: str = "",
                     opts: Optional[PhaserOptions] = None,
-                    device: str = "host", log=print, **kw) -> PhaserResult:
+                    device: str = "host", resume: bool = False,
+                    log=print, **kw) -> PhaserResult:
     opts = opts or PhaserOptions()
     contigs = chrom.split(",") if chrom else list_contigs(vcf)
     log("    Memory efficient mode is activated... ")
@@ -51,6 +66,12 @@ def run_phaser_slow(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     produced: List[str] = []
     for c in contigs:
         prefix = o + c
+        if resume and all(os.path.isfile(prefix + "." + sfx)
+                          for sfx in TEXT_SUFFIXES):
+            log("     contig %s: resuming from existing outputs" % c)
+            pi_block_value += _existing_block_count(prefix)
+            produced.append(c)
+            continue
         try:
             res = run_phaser(vcf=vcf, bam=bam, sample=sample, o=prefix,
                              mapq=mapq, baseq=baseq, paired_end=paired_end,

@@ -163,3 +163,19 @@ def test_cis_var_parity(tmp_path):
     assert len(rdf) == len(odf) > 0
     for col in DET_COLS:
         assert odf[col].tolist() == rdf[col].tolist(), "col %s differs" % col
+
+
+def test_cis_var_chr_subset(tmp_path):
+    """--chr restriction matches full-run rows for that contig."""
+    bed, vcf, pairs, smap = _make_cis_var_inputs(tmp_path, n_samples=16,
+                                                 n_genes=4, n_vars=8)
+    full = str(tmp_path / "full.txt")
+    sub = str(tmp_path / "sub.txt")
+    run_cis_var(bed, vcf, pairs, smap, full, bs=50, log=lambda *a: None)
+    run_cis_var(bed, vcf, pairs, smap, sub, bs=50, chrom="chr20",
+                log=lambda *a: None)
+    assert open(sub).read() == open(full).read()  # all pairs are chr20
+    none = str(tmp_path / "none.txt")
+    run_cis_var(bed, vcf, pairs, smap, none, bs=50, chrom="chrX",
+                log=lambda *a: None)
+    assert len(open(none).read().splitlines()) == 1  # header only

@@ -52,3 +52,24 @@ def test_slow_mode_merge(tmp_path):
             if v not in (".", ""):
                 pis.add(int(v))
     assert len(pis) == n_hap_rows  # block ids unique across contigs
+
+
+def test_slow_mode_resume(tmp_path):
+    vcf, bam, data = datagen.write_fixture_dir(
+        str(tmp_path), seed=62, contigs=("chr20", "chr21"), contig_len=12000,
+        n_variants_per_contig=50, n_reads_per_contig=600)
+    opts = PhaserOptions(as_q_cutoff=0)
+    full = str(tmp_path / "full")
+    run_phaser_slow(vcf=vcf, bam=bam, sample=data.sample, o=full, mapq="10",
+                    baseq=10, paired_end="1", opts=opts, log=lambda *a: None)
+    # simulate an interrupted run: only chr20 finished
+    part = str(tmp_path / "part")
+    run_phaser(vcf=vcf, bam=bam, sample=data.sample, o=part + "chr20",
+               mapq="10", baseq=10, paired_end="1", chrom="chr20", opts=opts,
+               log=lambda *a: None)
+    run_phaser_slow(vcf=vcf, bam=bam, sample=data.sample, o=part, mapq="10",
+                    baseq=10, paired_end="1", opts=opts, resume=True,
+                    log=lambda *a: None)
+    for sfx in (".haplotypes.txt", ".allelic_counts.txt",
+                ".haplotypic_counts.txt"):
+        assert open(part + sfx).read() == open(full + sfx).read(), sfx
