@@ -161,5 +161,8 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
     text = ("\n".join(out_lines) + "\n").encode()
     gz_path = out_prefix + ".vcf.gz"
     bgzf.compress_to_path(text, gz_path)
-    tabix.build_vcf_index(gz_path, gz_path + (".csi" if csi_index else ".tbi"))
+    if csi_index:
+        tabix.build_csi_index(gz_path)
+    else:
+        tabix.build_vcf_index(gz_path)
     return unphased_phased, phase_corrections

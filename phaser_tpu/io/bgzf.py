@@ -249,6 +249,27 @@ class BgzfReader:
         # skip EOF-marker/empty blocks transparently
         return nxt
 
+    def read_range(self, vbeg: int, vend: int) -> bytes:
+        """Payload bytes between two virtual offsets (end exclusive)."""
+        out = []
+        coff = vbeg >> 16
+        within = vbeg & 0xFFFF
+        end_coff = vend >> 16
+        end_within = vend & 0xFFFF
+        while True:
+            payload, bsize = decompress_block(self._raw, coff)
+            if coff == end_coff:
+                out.append(payload[within:end_within])
+                break
+            out.append(payload[within:])
+            coff += bsize
+            within = 0
+            if coff >= len(self._raw):
+                break
+            if coff > end_coff:
+                break
+        return b"".join(out)
+
     def read_all_from(self, voff: int) -> bytes:
         self.seek_virtual(voff)
         chunks = [self._block_payload[self._within:]]

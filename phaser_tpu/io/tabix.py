@@ -185,16 +185,164 @@ def build_text_index(vcf_gz_path: str, tbi_path: Optional[str] = None,
     b.write(tbi_path or vcf_gz_path + ".tbi")
 
 
+CSI_MAGIC = b"CSI\x01"
+
+
+def _reg2bin_g(beg: int, end: int, min_shift: int, depth: int) -> int:
+    """Generalized CSI binning."""
+    end -= 1
+    level_off = 0
+    # cumulative offsets per level: ((1 << 3*l) - 1) / 7
+    for lvl in range(depth, 0, -1):
+        shift = min_shift + 3 * (depth - lvl)
+        if beg >> shift == end >> shift:
+            return ((1 << (3 * lvl)) - 1) // 7 + (beg >> shift)
+    return 0
+
+
+def _reg2bins_g(beg: int, end: int, min_shift: int, depth: int) -> List[int]:
+    if beg >= end:
+        return []
+    end -= 1
+    bins = [0]
+    for lvl in range(1, depth + 1):
+        shift = min_shift + 3 * (depth - lvl)
+        off = ((1 << (3 * lvl)) - 1) // 7
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+def build_csi_index(vcf_gz_path: str, csi_path: Optional[str] = None,
+                    min_shift: int = 14, depth: int = 5) -> None:
+    """CSI index for a bgzipped VCF (equivalent of `tabix --csi -p vcf`)."""
+    import bisect
+
+    raw = open(vcf_gz_path, "rb").read()
+    offs: List[int] = []
+    plens: List[int] = []
+    payloads: List[bytes] = []
+    off = 0
+    while off < len(raw):
+        payload, bsize = bgzf.decompress_block(raw, off)
+        offs.append(off)
+        plens.append(len(payload))
+        payloads.append(payload)
+        off += bsize
+    data = b"".join(payloads)
+    uends: List[int] = []
+    acc = 0
+    for n in plens:
+        acc += n
+        uends.append(acc)
+
+    def uoff2voff(u: int) -> int:
+        bi = bisect.bisect_right(uends, u)
+        if bi >= len(offs):
+            bi = len(offs) - 1
+        return (offs[bi] << 16) | (u - (uends[bi] - plens[bi]))
+
+    names: List[str] = []
+    name_idx: Dict[str, int] = {}
+    # per ref: bin -> [loffset, chunks]
+    refs: List[Dict[int, list]] = []
+    pos = 0
+    n_total = len(data)
+    while pos < n_total:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            nl = n_total
+        line = data[pos:nl]
+        if line and not line.startswith(b"#"):
+            cols = line.split(b"\t", 4)
+            chrom = cols[0].decode()
+            p1 = int(cols[1])
+            ref = cols[3] if len(cols) > 3 else b"N"
+            beg0, end0 = p1 - 1, p1 - 1 + len(ref)
+            if chrom not in name_idx:
+                name_idx[chrom] = len(names)
+                names.append(chrom)
+                refs.append({})
+            b = _reg2bin_g(beg0, end0, min_shift, depth)
+            vbeg, vend = uoff2voff(pos), uoff2voff(nl + 1)
+            bins = refs[name_idx[chrom]]
+            if b not in bins:
+                bins[b] = [vbeg, []]  # loffset = first voff in bin
+            entry = bins[b]
+            if entry[1] and entry[1][-1][1] == vbeg:
+                entry[1][-1][1] = vend
+            else:
+                entry[1].append([vbeg, vend])
+        pos = nl + 1
+
+    out = [CSI_MAGIC, struct.pack("<ii", min_shift, depth)]
+    # aux: tabix conf (6 ints) + names, as htslib writes for tabix-over-csi
+    nm = b"".join(n.encode() + b"\x00" for n in names)
+    aux = struct.pack("<4i", FMT_VCF, 1, 2, 0) + struct.pack("<2i", ord("#"), 0) \
+        + struct.pack("<i", len(nm)) + nm
+    out.append(struct.pack("<i", len(aux)))
+    out.append(aux)
+    out.append(struct.pack("<i", len(refs)))
+    for bins in refs:
+        out.append(struct.pack("<i", len(bins)))
+        for b in sorted(bins):
+            loffset, chunks = bins[b]
+            out.append(struct.pack("<IQi", b, loffset, len(chunks)))
+            for cb, ce in chunks:
+                out.append(struct.pack("<QQ", cb, ce))
+    out.append(struct.pack("<Q", 0))  # n_no_coor
+    bgzf.compress_to_path(b"".join(out), csi_path or vcf_gz_path + ".csi")
+
+
 class TabixFile:
-    """Region fetch over a bgzipped+tabix-indexed text file (VCF/BED/TSV)."""
+    """Region fetch over a bgzipped + (tabix or CSI) indexed text file."""
 
     def __init__(self, path: str, index_path: Optional[str] = None):
         self.path = path
         self._reader = bgzf.BgzfReader(path)
-        idx = bgzf.decompress_all(open(index_path or path + ".tbi", "rb").read())
-        self._parse_index(idx)
+        if index_path is None:
+            import os
+            index_path = path + ".tbi"
+            if not os.path.isfile(index_path) and os.path.isfile(path + ".csi"):
+                index_path = path + ".csi"
+        idx = bgzf.decompress_all(open(index_path, "rb").read())
+        if idx[:4] == CSI_MAGIC:
+            self._parse_csi(idx)
+        else:
+            self._parse_index(idx)
+
+    def _parse_csi(self, buf: bytes) -> None:
+        off = 4
+        self._min_shift, self._depth = struct.unpack_from("<ii", buf, off)
+        off += 8
+        (l_aux,) = struct.unpack_from("<i", buf, off); off += 4
+        aux = buf[off:off + l_aux]; off += l_aux
+        self.conf = struct.unpack_from("<6i", aux, 0)
+        (l_nm,) = struct.unpack_from("<i", aux, 24)
+        self.names = [n.decode() for n in aux[28:28 + l_nm].split(b"\x00")[:-1]]
+        self.name_idx = {n: i for i, n in enumerate(self.names)}
+        (n_ref,) = struct.unpack_from("<i", buf, off); off += 4
+        self._bins = []
+        self._loffsets = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", buf, off); off += 4
+            bins = {}
+            loffs = {}
+            for _ in range(n_bin):
+                b, loffset, n_chunk = struct.unpack_from("<IQi", buf, off)
+                off += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", buf, off); off += 16
+                    chunks.append((cb, ce))
+                bins[b] = chunks
+                loffs[b] = loffset
+            self._bins.append(bins)
+            self._loffsets.append(loffs)
+        self._linear = None  # CSI has loffsets per bin instead
+        self._is_csi = True
 
     def _parse_index(self, buf: bytes) -> None:
+        self._is_csi = False
         if buf[:4] != TBI_MAGIC:
             raise ValueError("bad TBI magic")
         off = 4
@@ -228,25 +376,36 @@ class TabixFile:
             return
         tid = self.name_idx[chrom]
         bins = self._bins[tid]
-        lin = self._linear[tid]
-        w = beg0 >> _MIN_SHIFT
-        min_voff = lin[w] if w < len(lin) else (lin[-1] if lin else 0)
+        if getattr(self, "_is_csi", False):
+            cand_bins = _reg2bins_g(beg0, end0, self._min_shift, self._depth)
+            min_voff = 0
+        else:
+            cand_bins = reg2bins(beg0, end0)
+            lin = self._linear[tid]
+            w = beg0 >> _MIN_SHIFT
+            min_voff = lin[w] if w < len(lin) else (lin[-1] if lin else 0)
         chunks = []
-        for b in reg2bins(beg0, end0):
+        for b in cand_bins:
             for cb, ce in bins.get(b, ()):
                 if ce > min_voff:
                     chunks.append((max(cb, min_voff), ce))
         if not chunks:
             return
         chunks.sort()
+        # coalesce overlapping/adjacent chunk ranges (chunk voffs always fall
+        # on record boundaries)
+        merged = [list(chunks[0])]
+        for cb, ce in chunks[1:]:
+            if cb <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], ce)
+            else:
+                merged.append([cb, ce])
         fmt, col_seq, col_beg, col_end, meta, skip = self.conf
         zero_based = bool(fmt & FLAG_UCSC)
         fmt &= 0xFFFF
-        for cb, ce in chunks:
-            data = self._reader.read_all_from(cb)
+        for cb, ce in merged:
+            data = self._reader.read_range(cb, ce)
             limit = None
-            # stop once past ce is handled per line below via voff math being
-            # unavailable; instead we stop when record beg >= end0.
             for line in data.split(b"\n"):
                 if not line or line[0:1] == bytes([meta & 0xFF]):
                     continue

@@ -128,3 +128,42 @@ def test_sam_text_matches_bam(tmp_path):
         assert ours[5] == theirs[5]
         assert ours[9] == theirs[9]
         assert ours[10] == theirs[10]
+
+
+def test_csi_index_roundtrip(tmp_path):
+    data = datagen.generate(seed=13, contigs=("chr21", "chr22"),
+                            n_variants_per_contig=60, n_reads_per_contig=10)
+    p = str(tmp_path / "c.vcf.gz")
+    data.write_vcf(p)
+    os.remove(p + ".tbi")
+    tabix.build_csi_index(p)
+    assert os.path.exists(p + ".csi")
+    tf = tabix.TabixFile(p)  # auto-detects the CSI
+    v = data.variants[70]
+    got = list(tf.fetch(v.chrom, v.pos - 1, v.pos))
+    assert any(int(l.split("\t")[1]) == v.pos for l in got)
+    assert list(tf.fetch("chrX", 0, 100)) == []
+    # whole-contig fetch covers every record of that contig
+    n21 = sum(1 for v2 in data.variants if v2.chrom == "chr21")
+    assert len(list(tf.fetch("chr21", 0, 10**9))) == n21
+
+
+def test_csi_vcf_output(tmp_path):
+    """Input VCF indexed with .csi -> engine writes a .csi-indexed output."""
+    from phaser_tpu.engine.output_stage import PhaserOptions
+    from phaser_tpu.engine.pipeline import run_phaser
+    data = datagen.generate(seed=14, contigs=("chr21",), contig_len=15000,
+                            n_variants_per_contig=50, n_reads_per_contig=500)
+    vcf_p = str(tmp_path / "s.vcf.gz")
+    bam_p = str(tmp_path / "s.bam")
+    data.write_vcf(vcf_p)
+    data.write_bam(bam_p)
+    os.remove(vcf_p + ".tbi")
+    tabix.build_csi_index(vcf_p)
+    prefix = str(tmp_path / "out")
+    run_phaser(vcf=vcf_p, bam=bam_p, sample=data.sample, o=prefix, mapq="10",
+               baseq=10, paired_end="1", opts=PhaserOptions(),
+               log=lambda *a: None)
+    assert os.path.exists(prefix + ".vcf.gz.csi")
+    tf = tabix.TabixFile(prefix + ".vcf.gz")
+    assert len(list(tf.fetch("chr21", 0, 10**9))) > 10
