@@ -191,3 +191,30 @@ def test_sharded_allele_counts():
     hit = allele < 3
     np.add.at(ref, (vidx[hit], allele[hit]), 1)
     np.testing.assert_array_equal(counts, ref)
+
+
+def test_multihost_scaffolding_single_process():
+    """Single-process path of the multi-host scaffolding: global arrays from
+    process-local tensors + the sharded step over the virtual mesh."""
+    import jax
+    from phaser_tpu.dist import multihost
+    from phaser_tpu.dist.mesh import make_mesh
+
+    multihost.initialize()  # no-op single process
+    shards = multihost.position_shards(10000, 4, halo=200)
+    assert shards[0] == (0, 2700)
+    assert shards[-1][1] == 10000
+
+    rng = np.random.default_rng(3)
+    N, L, M = 64, 128, 32
+    codes = rng.integers(0, 16, (N, L)).astype(np.uint8)
+    quals = rng.integers(0, 40, (N, L)).astype(np.uint8)
+    refpos = np.sort(rng.integers(1, 3000, (N, L)).astype(np.int32), axis=1)
+    vpos = np.sort(rng.choice(np.arange(1, 3000), M, replace=False)).astype(np.int32)
+    ind = rng.integers(1, 15, (M, 2)).astype(np.uint8)
+    ni = np.full(M, 2, np.int8)
+    mesh = make_mesh(8)
+    counts, pair, scores = multihost.run_sharded_step(
+        mesh, codes, quals, refpos, vpos, ind, ni, 10)
+    assert counts.shape == (M, 3)
+    assert int(np.asarray(counts).sum()) > 0
