@@ -63,17 +63,18 @@ def classify_alleles(hits: ContigHits, vt: VariantTable) -> np.ndarray:
 def build_contig_rows(vt: VariantTable,
                       per_bam: Sequence[Tuple[int, BamData, ContigHits]],
                       as_cutoffs: Dict[int, Optional[float]],
-                      seq_offsets: Dict[int, int]) -> ContigRows:
+                      seq_offsets) -> ContigRows:
     """Concatenate per-bam mapper rows with AS filtering and global row seqs.
 
-    per_bam: (bam_index, contig read chunk, hits) in bam order.
+    per_bam: (bam_index, read chunk, hits) entries in (bam, file) order —
+    one per bam for whole-file decode, several per bam when streaming.
     as_cutoffs: bam_index -> cutoff float or None (no cutoff in use).
-    seq_offsets: bam_index -> global sequence number of this contig's first
-    row for that bam (pipeline precomputes from per-contig row counts).
+    seq_offsets: either {bam_index: offset} (one entry per bam) or a list of
+    per-entry global sequence offsets aligned with per_bam.
     """
     n_bams = max((b for b, _, _ in per_bam), default=-1) + 1
     bam_l, var_l, al_l, name_l, seq_l = [], [], [], [], []
-    for bam_index, chunk, hits in per_bam:
+    for entry_i, (bam_index, chunk, hits) in enumerate(per_bam):
         cutoff = as_cutoffs.get(bam_index)
         n = len(hits)
         if n == 0:
@@ -88,11 +89,13 @@ def build_contig_rows(vt: VariantTable,
         else:
             keep = np.ones(n, bool)
         kidx = np.flatnonzero(keep)
+        off = (seq_offsets[entry_i] if isinstance(seq_offsets, (list, tuple))
+               else seq_offsets[bam_index])
         bam_l.append(np.full(len(kidx), bam_index, np.int16))
         var_l.append(hits.var_idx[kidx])
         al_l.append(allele_idx[kidx])
         name_l.extend(chunk.names[int(hits.read_idx[i])] for i in kidx)
-        seq_l.append(seq_offsets[bam_index] + np.arange(len(kidx), dtype=np.int64))
+        seq_l.append(off + np.arange(len(kidx), dtype=np.int64))
 
     if not var_l:
         return ContigRows(vt, n_bams, np.zeros(0, np.int16), np.zeros(0, np.int64),

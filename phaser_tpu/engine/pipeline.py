@@ -150,45 +150,60 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     log("#2. Retrieving reads that overlap heterozygous sites...")
     per_contig_bam_hits: Dict[str, list] = {c: [] for c in contig_order}
     as_scores_per_bam: Dict[int, list] = {}
-    kept_counts: Dict[Tuple[int, str], int] = {}
 
-    for bam_i, (xbam, mq, isz, pe) in enumerate(
-            zip(bam_list, mapq_list, isize_list, paired_list)):
-        log("     file: %s" % xbam)
-        log("          minimum mapq: %s" % mq)
-        with tracer.stage("#2 bam decode", "reads"):
-            bd = bamio.read_bam(xbam)
-        tracer.add("#2 bam decode", len(bd), "reads")
-        excl_flag = bamio.FLAG_UNMAPPED
-        if opts.remove_dups == 1:
-            excl_flag |= bamio.FLAG_DUP
-        req_flag = bamio.FLAG_PROPER_PAIR if int(pe) == 1 else 0
-        scores: List[int] = []
+    stream_threshold = float(os.environ.get(
+        "PHASER_TPU_STREAM_THRESHOLD_MB", "2048")) * 1e6
+
+    def _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag, scores):
+        """Filter one decoded chunk per contig, assign alleles, record hits."""
         for c in contig_order:
             vt = tables[c]
-            src_name = vt.chrom if opts.chr_prefix == "" else c
             if vt.chrom in bd.ref_names:
                 tid = bd.ref_names.index(vt.chrom)
             elif c in bd.ref_names:
                 tid = bd.ref_names.index(c)
             else:
-                per_contig_bam_hits[c].append((bam_i, None, None))
-                kept_counts[(bam_i, c)] = 0
                 continue
             keep = ((bd.refid == tid) & ((bd.flag & excl_flag) == 0) &
                     ((bd.flag & req_flag) == req_flag) &
                     (bd.mapq >= int(mq)))
+            if not keep.any():
+                continue
             with tracer.stage("#2 allele assignment", "reads"):
                 chunk = bd.select(keep)
                 hits = assign_alleles_auto(chunk, vt, baseq=baseq, splice=True,
                                            isize_cutoff=isz, device=device)
             tracer.add("#2 allele assignment", len(chunk), "reads")
             per_contig_bam_hits[c].append((bam_i, chunk, hits))
-            kept_counts[(bam_i, c)] = len(hits)
             if len(hits):
                 ha = chunk.has_as[hits.read_idx]
                 scores.extend(chunk.as_score[hits.read_idx][ha].tolist())
-            log("               completed chromosome %s..." % vt.chrom)
+
+    for bam_i, (xbam, mq, isz, pe) in enumerate(
+            zip(bam_list, mapq_list, isize_list, paired_list)):
+        log("     file: %s" % xbam)
+        log("          minimum mapq: %s" % mq)
+        excl_flag = bamio.FLAG_UNMAPPED
+        if opts.remove_dups == 1:
+            excl_flag |= bamio.FLAG_DUP
+        req_flag = bamio.FLAG_PROPER_PAIR if int(pe) == 1 else 0
+        scores: List[int] = []
+        from ..utils.memtune import bgzf_uncompressed_size
+        usize = bgzf_uncompressed_size(xbam)
+        if usize > stream_threshold:
+            log("          streaming decode (%.1f GB uncompressed)"
+                % (usize / 1e9))
+            for bd in bamio.iter_bam_stream(xbam):
+                tracer.add("#2 bam decode", len(bd), "reads")
+                _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag,
+                               scores)
+        else:
+            with tracer.stage("#2 bam decode", "reads"):
+                bd = bamio.read_bam(xbam)
+            tracer.add("#2 bam decode", len(bd), "reads")
+            _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag, scores)
+        for c in contig_order:
+            log("               completed chromosome %s..." % tables[c].chrom)
         as_scores_per_bam[bam_i] = scores
 
     # AS cutoffs (:540-553): quantile over all rows of the bam
@@ -205,32 +220,34 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                 log("          using alignment score cutoff of %d" % cutoff)
         as_cutoffs[bam_i] = cutoff
 
-    # global row sequence offsets: bam-major, then contig, then row
-    seq_offsets: Dict[Tuple[int, str], int] = {}
+    # global row sequence offsets: bam-major, then contig, then entry/row
+    entry_offsets: Dict[str, list] = {c: [None] * len(per_contig_bam_hits[c])
+                                      for c in contig_order}
     seq = 0
     for bam_i in range(len(bam_list)):
         for c in contig_order:
-            seq_offsets[(bam_i, c)] = seq
-            n = kept_counts.get((bam_i, c), 0)
-            if as_cutoffs[bam_i] is not None and n:
-                # count post-AS-filter rows
-                bam_idx, chunk, hits = next(
-                    t for t in per_contig_bam_hits[c] if t[0] == bam_i)
-                if chunk is not None:
+            for ei, (b, chunk, hits) in enumerate(per_contig_bam_hits[c]):
+                if b != bam_i or chunk is None:
+                    continue
+                entry_offsets[c][ei] = seq
+                n = len(hits)
+                if as_cutoffs[bam_i] is not None and n:
                     kept = chunk.as_score[hits.read_idx] >= as_cutoffs[bam_i]
                     n = int(kept.sum())
-            seq += n
+                seq += n
 
     contig_states = []
     total_reads = 0
     with tracer.stage("#2 accumulate", "rows"):
         for c in contig_order:
             vt = tables[c]
-            per_bam = [(b, chunk, h) for (b, chunk, h) in per_contig_bam_hits[c]
-                       if chunk is not None]
-            rows = build_contig_rows(
-                vt, per_bam, as_cutoffs,
-                {b: seq_offsets[(b, c)] for b, _, _ in per_bam})
+            per_bam = []
+            offsets = []
+            for ei, (b, chunk, h) in enumerate(per_contig_bam_hits[c]):
+                if chunk is not None:
+                    per_bam.append((b, chunk, h))
+                    offsets.append(entry_offsets[c][ei])
+            rows = build_contig_rows(vt, per_bam, as_cutoffs, offsets)
             total_reads += len(rows)
             vr = build_variant_reads(rows, excl)
             contig_states.append((vr, None))

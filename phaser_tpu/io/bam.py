@@ -212,6 +212,53 @@ def read_bam(path_or_bytes, native: bool = True, n_threads: int = 0) -> BamData:
     )
 
 
+def _bamdata_from_handle(lib, h, ref_names=None, ref_lengths=None,
+                         header_text=None) -> BamData:
+    """Copy a native parse handle into numpy arrays (frees the handle)."""
+    import ctypes
+    try:
+        n = lib.bam_n_records(h)
+        n_refs = lib.bam_n_refs(h)
+        refid = np.empty(n, np.int32)
+        pos = np.empty(n, np.int32)
+        mapq = np.empty(n, np.uint8)
+        flag = np.empty(n, np.uint16)
+        tlen = np.empty(n, np.int32)
+        as_score = np.empty(n, np.int32)
+        has_as = np.empty(n, np.uint8)
+        cigar_off = np.empty(n + 1, np.int64)
+        seq_off = np.empty(n + 1, np.int64)
+        name_off = np.empty(n + 1, np.int64)
+        cigar = np.empty(lib.bam_total_cigar(h), np.uint32)
+        seq = np.empty(lib.bam_total_seq(h), np.uint8)
+        qual = np.empty(lib.bam_total_seq(h), np.uint8)
+        names_blob = np.empty(lib.bam_names_size(h), np.uint8)
+        refnames_blob = np.empty(lib.bam_refnames_size(h), np.uint8)
+        ref_lens = np.empty(max(n_refs, 0), np.int32)
+        header = np.empty(lib.bam_header_size(h), np.uint8)
+        ptr = ctypes.c_void_p
+        lib.bam_fill(h, *(a.ctypes.data_as(ptr) for a in (
+            refid, pos, mapq, flag, tlen, as_score, has_as, cigar_off,
+            seq_off, name_off, cigar, seq, qual, names_blob, refnames_blob,
+            ref_lens, header)))
+    finally:
+        lib.bam_free(h)
+    nb = names_blob.tobytes()
+    names = [nb[name_off[i]:name_off[i + 1]] for i in range(n)]
+    if ref_names is None:
+        ref_names = [r.decode() for r in
+                     refnames_blob.tobytes().split(b"\x00")[:-1]]
+        ref_lengths = ref_lens.tolist()
+        header_text = header.tobytes().decode()
+    return BamData(
+        ref_names=ref_names, ref_lengths=ref_lengths,
+        header_text=header_text,
+        refid=refid, pos=pos, mapq=mapq, flag=flag, tlen=tlen,
+        as_score=as_score, has_as=has_as.astype(bool), names=names,
+        cigar_flat=cigar, cigar_off=cigar_off, seq_flat=seq, qual_flat=qual,
+        seq_off=seq_off)
+
+
 def _read_bam_native(raw: bytes, n_threads: int = 0) -> Optional[BamData]:
     """C++ fast path: multithreaded BGZF inflate + single-pass record parse."""
     from . import native as native_mod
@@ -233,44 +280,72 @@ def _read_bam_native(raw: bytes, n_threads: int = 0) -> Optional[BamData]:
     h = lib.bam_parse(ubuf.ctypes.data_as(ctypes.c_void_p), total)
     if not h:
         return None
-    try:
-        n = lib.bam_n_records(h)
-        n_refs = lib.bam_n_refs(h)
-        refid = np.empty(n, np.int32)
-        pos = np.empty(n, np.int32)
-        mapq = np.empty(n, np.uint8)
-        flag = np.empty(n, np.uint16)
-        tlen = np.empty(n, np.int32)
-        as_score = np.empty(n, np.int32)
-        has_as = np.empty(n, np.uint8)
-        cigar_off = np.empty(n + 1, np.int64)
-        seq_off = np.empty(n + 1, np.int64)
-        name_off = np.empty(n + 1, np.int64)
-        cigar = np.empty(lib.bam_total_cigar(h), np.uint32)
-        seq = np.empty(lib.bam_total_seq(h), np.uint8)
-        qual = np.empty(lib.bam_total_seq(h), np.uint8)
-        names_blob = np.empty(lib.bam_names_size(h), np.uint8)
-        refnames_blob = np.empty(lib.bam_refnames_size(h), np.uint8)
-        ref_lens = np.empty(n_refs, np.int32)
-        header = np.empty(lib.bam_header_size(h), np.uint8)
-        ptr = ctypes.c_void_p
-        lib.bam_fill(h, *(a.ctypes.data_as(ptr) for a in (
-            refid, pos, mapq, flag, tlen, as_score, has_as, cigar_off,
-            seq_off, name_off, cigar, seq, qual, names_blob, refnames_blob,
-            ref_lens, header)))
-    finally:
-        lib.bam_free(h)
-    nb = names_blob.tobytes()
-    names = [nb[name_off[i]:name_off[i + 1]] for i in range(n)]
-    ref_names = refnames_blob.tobytes().split(b"\x00")[:-1]
-    return BamData(
-        ref_names=[r.decode() for r in ref_names],
-        ref_lengths=ref_lens.tolist(),
-        header_text=header.tobytes().decode(),
-        refid=refid, pos=pos, mapq=mapq, flag=flag, tlen=tlen,
-        as_score=as_score, has_as=has_as.astype(bool), names=names,
-        cigar_flat=cigar, cigar_off=cigar_off, seq_flat=seq, qual_flat=qual,
-        seq_off=seq_off)
+    return _bamdata_from_handle(lib, h)
+
+
+def iter_bam_stream(path: str, window_bytes: int = 256 * 1024 * 1024,
+                    n_threads: int = 0):
+    """Stream a BAM in bounded-memory windows of whole records.
+
+    Yields BamData chunks (sharing ref_names/header) in file order; peak
+    memory is ~one compressed window + its decompressed payload, instead of
+    the whole file. Requires the native library.
+    """
+    from . import bgzf as bgzf_mod
+    from . import native as native_mod
+    import ctypes
+    import os as _os
+    lib = native_mod.get_lib()
+    if lib is None:
+        raise RuntimeError("iter_bam_stream requires the native library")
+    if n_threads <= 0:
+        n_threads = min(_os.cpu_count() or 1, 8)
+
+    with open(path, "rb") as fh:
+        raw = fh.read()  # mmap-able later; block table needs whole scan
+    offs = bgzf_mod.block_offsets(raw)
+    offs.append(len(raw))
+
+    ptr = ctypes.c_void_p
+    carry = b""
+    ref_names = None
+    ref_lengths = None
+    header_text = None
+    bi = 0
+    while bi < len(offs) - 1:
+        # pick a block-aligned compressed window
+        end_bi = bi
+        while end_bi < len(offs) - 1 and \
+                offs[end_bi + 1] - offs[bi] <= window_bytes:
+            end_bi += 1
+        end_bi = max(end_bi, bi + 1)
+        cslice = raw[offs[bi]:offs[end_bi]]
+        total = lib.bgzf_total_size(cslice, len(cslice))
+        ubuf = np.empty(max(total, 1), np.uint8)
+        got = lib.bgzf_decompress(cslice, len(cslice),
+                                  ubuf.ctypes.data_as(ptr), n_threads)
+        if got != total:
+            raise RuntimeError("bgzf window decompress failed")
+        data = carry + ubuf[:total].tobytes()
+        consumed = ctypes.c_int64(0)
+        if ref_names is None:
+            h = lib.bam_header_only(data, len(data), ctypes.byref(consumed))
+            if not h:
+                raise RuntimeError("not a BAM file")
+            hd = _bamdata_from_handle(lib, h)
+            ref_names = hd.ref_names
+            ref_lengths = hd.ref_lengths
+            header_text = hd.header_text
+            data = data[consumed.value:]
+        h = lib.bam_records_parse(data, len(data), ctypes.byref(consumed))
+        chunk = _bamdata_from_handle(lib, h, ref_names, ref_lengths,
+                                     header_text)
+        carry = data[consumed.value:]
+        bi = end_bi
+        if len(chunk):
+            yield chunk
+    if carry:
+        raise RuntimeError("trailing partial BAM record")
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,10 @@ def get_lib():
                                         c.c_int]
         lib.bam_parse.restype = c.c_void_p
         lib.bam_parse.argtypes = [c.c_void_p, c.c_int64]
+        lib.bam_header_only.restype = c.c_void_p
+        lib.bam_header_only.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
+        lib.bam_records_parse.restype = c.c_void_p
+        lib.bam_records_parse.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
         for fn in ("bam_n_records", "bam_total_cigar", "bam_total_seq",
                    "bam_names_size", "bam_refnames_size", "bam_header_size"):
             getattr(lib, fn).restype = c.c_int64

@@ -178,9 +178,10 @@ static void find_first_as(const uint8_t* p, const uint8_t* end, int32_t* as,
   }
 }
 
-void* bam_parse(const uint8_t* data, int64_t size) {
-  if (size < 12 || memcmp(data, "BAM\x01", 4) != 0) return nullptr;
-  BamIndexed* bi = new BamIndexed();
+// Parse the BAM header section only; returns bytes consumed (or -1).
+static int64_t parse_bam_header(const uint8_t* data, int64_t size,
+                                BamIndexed* bi) {
+  if (size < 12 || memcmp(data, "BAM\x01", 4) != 0) return -1;
   int64_t off = 4;
   int32_t l_text = rd_i32(data + off); off += 4;
   bi->header_text.assign((const char*)data + off, l_text);
@@ -195,11 +196,18 @@ void* bam_parse(const uint8_t* data, int64_t size) {
     off += l_name;
     bi->ref_lens.push_back(rd_i32(data + off)); off += 4;
   }
-  bi->cigar_off.push_back(0);
-  bi->seq_off.push_back(0);
-  bi->name_off.push_back(0);
+  return off;
+}
+
+// Parse as many COMPLETE records as fit in [start, size); returns bytes
+// consumed (a partial trailing record is left for the caller to carry).
+static int64_t parse_bam_records(const uint8_t* data, int64_t start,
+                                 int64_t size, BamIndexed* bi) {
+  int64_t off = start;
   while (off + 4 <= size) {
-    int32_t block_size = rd_i32(data + off); off += 4;
+    int32_t block_size = rd_i32(data + off);
+    if (off + 4 + block_size > size) break;  // partial record
+    off += 4;
     const uint8_t* rec = data + off;
     const uint8_t* rec_end = rec + block_size;
     int32_t rid = rd_i32(rec);
@@ -241,6 +249,41 @@ void* bam_parse(const uint8_t* data, int64_t size) {
     bi->has_as.push_back(has);
     off += block_size;
   }
+  return off;
+}
+
+static void init_offsets(BamIndexed* bi) {
+  bi->cigar_off.push_back(0);
+  bi->seq_off.push_back(0);
+  bi->name_off.push_back(0);
+}
+
+void* bam_parse(const uint8_t* data, int64_t size) {
+  BamIndexed* bi = new BamIndexed();
+  int64_t off = parse_bam_header(data, size, bi);
+  if (off < 0) { delete bi; return nullptr; }
+  init_offsets(bi);
+  parse_bam_records(data, off, size, bi);
+  return bi;
+}
+
+// Streaming: header-only parse; *consumed = bytes of the header section.
+void* bam_header_only(const uint8_t* data, int64_t size, int64_t* consumed) {
+  BamIndexed* bi = new BamIndexed();
+  int64_t off = parse_bam_header(data, size, bi);
+  if (off < 0) { delete bi; return nullptr; }
+  init_offsets(bi);
+  *consumed = off;
+  return bi;
+}
+
+// Streaming: parse complete records from a headerless byte window;
+// *consumed = bytes used (partial trailing record excluded).
+void* bam_records_parse(const uint8_t* data, int64_t size,
+                        int64_t* consumed) {
+  BamIndexed* bi = new BamIndexed();
+  init_offsets(bi);
+  *consumed = parse_bam_records(data, 0, size, bi);
   return bi;
 }
 

@@ -31,3 +31,21 @@ def test_device_vs_host_engine(tmp_path, gen_kw):
                    ".allele_config.txt", ".haplotypes.txt",
                    ".haplotypic_counts.txt", ".vcf.gz"):
         assert filecmp.cmp(a + suffix, b + suffix, shallow=False), suffix
+
+
+def test_streaming_engine_identical(tmp_path, monkeypatch):
+    """Forced streaming decode must give byte-identical engine outputs."""
+    vcf, bam, data = datagen.write_fixture_dir(
+        str(tmp_path), seed=53, contigs=("chr20", "chr21"), contig_len=15000,
+        n_variants_per_contig=70, n_reads_per_contig=900)
+    a = str(tmp_path / "whole")
+    b = str(tmp_path / "stream")
+    run_phaser(vcf=vcf, bam=bam, sample=data.sample, o=a, mapq="10", baseq=10,
+               paired_end="1", opts=PhaserOptions(), log=lambda *x: None)
+    monkeypatch.setenv("PHASER_TPU_STREAM_THRESHOLD_MB", "0.01")
+    run_phaser(vcf=vcf, bam=bam, sample=data.sample, o=b, mapq="10", baseq=10,
+               paired_end="1", opts=PhaserOptions(), log=lambda *x: None)
+    for suffix in (".allelic_counts.txt", ".variant_connections.txt",
+                   ".allele_config.txt", ".haplotypes.txt",
+                   ".haplotypic_counts.txt", ".vcf.gz"):
+        assert filecmp.cmp(a + suffix, b + suffix, shallow=False), suffix

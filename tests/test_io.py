@@ -167,3 +167,22 @@ def test_csi_vcf_output(tmp_path):
     assert os.path.exists(prefix + ".vcf.gz.csi")
     tf = tabix.TabixFile(prefix + ".vcf.gz")
     assert len(list(tf.fetch("chr21", 0, 10**9))) > 10
+
+
+def test_bam_streaming_matches_whole(tmp_path):
+    data = datagen.generate(seed=15, contigs=("chr20", "chr21"),
+                            n_variants_per_contig=30, n_reads_per_contig=400)
+    p = str(tmp_path / "s.bam")
+    data.write_bam(p)
+    whole = bamio.read_bam(p)
+    chunks = list(bamio.iter_bam_stream(p, window_bytes=16384))
+    assert len(chunks) > 3  # actually windowed
+    n = sum(len(c) for c in chunks)
+    assert n == len(whole)
+    cat_pos = np.concatenate([c.pos for c in chunks])
+    np.testing.assert_array_equal(cat_pos, whole.pos)
+    cat_seq = np.concatenate([c.seq_flat for c in chunks])
+    np.testing.assert_array_equal(cat_seq, whole.seq_flat)
+    names = [nm for c in chunks for nm in c.names]
+    assert names == whole.names
+    assert chunks[0].ref_names == whole.ref_names
