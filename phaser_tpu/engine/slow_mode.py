@@ -21,6 +21,8 @@ from .pipeline import PhaserResult, run_phaser
 TEXT_SUFFIXES = ["variant_connections.txt", "allelic_counts.txt",
                  "haplotypes.txt", "haplotypic_counts.txt",
                  "allele_config.txt"]
+# merged when present (--output_network)
+OPTIONAL_TEXT_SUFFIXES = ["network.links.txt", "network.nodes.txt"]
 
 
 def list_contigs(vcf_path: str) -> List[str]:
@@ -93,7 +95,10 @@ def run_phaser_slow(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     total.n_blocks = pi_block_value
 
     log("#8. Merging the results from several contigs/chromosome ...")
-    for suffix in TEXT_SUFFIXES:
+    optional_present = [
+        sfx for sfx in OPTIONAL_TEXT_SUFFIXES
+        if any(os.path.isfile(o + c + "." + sfx) for c in produced)]
+    for suffix in TEXT_SUFFIXES + optional_present:
         out_path = o + "." + suffix
         with open(out_path, "w") as out:
             header_written = False

@@ -293,6 +293,100 @@ def build_csi_index(vcf_gz_path: str, csi_path: Optional[str] = None,
     bgzf.compress_to_path(b"".join(out), csi_path or vcf_gz_path + ".csi")
 
 
+def build_bai_index(bam_path: str, bai_path: Optional[str] = None) -> None:
+    """BAI index for a BAM file (equivalent of `samtools index`)."""
+    import bisect
+    import struct as _s
+
+    raw = open(bam_path, "rb").read()
+    offs: List[int] = []
+    plens: List[int] = []
+    payloads: List[bytes] = []
+    off = 0
+    while off < len(raw):
+        payload, bsize = bgzf.decompress_block(raw, off)
+        offs.append(off)
+        plens.append(len(payload))
+        payloads.append(payload)
+        off += bsize
+    data = b"".join(payloads)
+    uends: List[int] = []
+    acc = 0
+    for n in plens:
+        acc += n
+        uends.append(acc)
+
+    def uoff2voff(u: int) -> int:
+        bi = bisect.bisect_right(uends, u)
+        if bi >= len(offs):
+            bi = len(offs) - 1
+        return (offs[bi] << 16) | (u - (uends[bi] - plens[bi]))
+
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    (l_text,) = _s.unpack_from("<i", data, 4)
+    p = 8 + l_text
+    (n_ref,) = _s.unpack_from("<i", data, p)
+    p += 4
+    for _ in range(n_ref):
+        (l_name,) = _s.unpack_from("<i", data, p)
+        p += 4 + l_name + 4
+    refs: List[Dict[int, list]] = [dict() for _ in range(n_ref)]
+    linear: List[List[int]] = [[] for _ in range(n_ref)]
+    while p + 4 <= len(data):
+        (block_size,) = _s.unpack_from("<i", data, p)
+        rec_vbeg = uoff2voff(p)
+        rec_vend = uoff2voff(p + 4 + block_size)
+        rid, pos0 = _s.unpack_from("<ii", data, p + 4)
+        n_cigar, = _s.unpack_from("<H", data, p + 4 + 12)
+        # reference span from cigar
+        span = 0
+        coff = p + 4 + 32 + data[p + 4 + 8]  # + l_read_name
+        for ci in range(n_cigar):
+            (op,) = _s.unpack_from("<I", data, coff + 4 * ci)
+            if (op & 0xF) in (0, 2, 3, 7, 8):
+                span += op >> 4
+        end0 = pos0 + max(span, 1)
+        p += 4 + block_size
+        if rid < 0:
+            continue
+        b = reg2bin(pos0, end0)
+        chunks = refs[rid].setdefault(b, [])
+        if chunks and chunks[-1][1] == rec_vbeg:
+            chunks[-1][1] = rec_vend
+        else:
+            chunks.append([rec_vbeg, rec_vend])
+        lin = linear[rid]
+        w_beg, w_end = pos0 >> _MIN_SHIFT, (end0 - 1) >> _MIN_SHIFT
+        if len(lin) <= w_end:
+            lin.extend([0] * (w_end + 1 - len(lin)))
+        for w in range(w_beg, w_end + 1):
+            if lin[w] == 0:
+                lin[w] = rec_vbeg
+
+    out = [b"BAI\x01", _s.pack("<i", n_ref)]
+    for rid in range(n_ref):
+        bins = refs[rid]
+        out.append(_s.pack("<i", len(bins)))
+        for b in sorted(bins):
+            chunks = bins[b]
+            out.append(_s.pack("<Ii", b, len(chunks)))
+            for cb, ce in chunks:
+                out.append(_s.pack("<QQ", cb, ce))
+        lin = linear[rid]
+        prev = 0
+        for i, v in enumerate(lin):
+            if v == 0:
+                lin[i] = prev
+            else:
+                prev = v
+        out.append(_s.pack("<i", len(lin)))
+        if lin:
+            out.append(_s.pack("<%dQ" % len(lin), *lin))
+    with open(bai_path or bam_path + ".bai", "wb") as fh:
+        fh.write(b"".join(out))
+
+
 class TabixFile:
     """Region fetch over a bgzipped + (tabix or CSI) indexed text file."""
 

@@ -186,3 +186,18 @@ def test_bam_streaming_matches_whole(tmp_path):
     names = [nm for c in chunks for nm in c.names]
     assert names == whole.names
     assert chunks[0].ref_names == whole.ref_names
+
+
+def test_bai_writer(tmp_path):
+    data = datagen.generate(seed=16, contigs=("chr20",),
+                            n_variants_per_contig=20, n_reads_per_contig=100)
+    p = str(tmp_path / "b.bam")
+    data.write_bam(p)
+    tabix.build_bai_index(p)
+    raw = open(p + ".bai", "rb").read()
+    assert raw[:4] == b"BAI\x01"
+    import struct
+    (n_ref,) = struct.unpack_from("<i", raw, 4)
+    assert n_ref == 1
+    (n_bin,) = struct.unpack_from("<i", raw, 8)
+    assert n_bin > 0
