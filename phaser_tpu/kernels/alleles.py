@@ -144,32 +144,34 @@ def _alleles_pallas_kernel(vpos_ref, a0_ref, a1_ref, ni_ref,
     refpos = refpos_ref[...]
     masked = jnp.where(quals >= baseq, codes, jnp.int32(15))
 
-    # branchless binary search over the padded (power-of-two) variant table
+    # branchless binary search over the padded (power-of-two) variant table,
+    # statically unrolled (Mosaic rejects vector-carry scans); table lookups
+    # as 2D take_along_axis with the table row-broadcast in VMEM
     M = vpos_ref.shape[-1]
+    R = refpos.shape[0]
     lo = jnp.zeros(refpos.shape, jnp.int32)
-    step = m_pow2
-    vp = vpos_ref[...]  # (1, M) in VMEM
+    vpb = jnp.broadcast_to(vpos_ref[...], (R, M))
 
-    def body(carry, _):
-        lo, step = carry
+    def lut(table_ref, idx):
+        tb = jnp.broadcast_to(table_ref[...], (R, M))
+        return jnp.take_along_axis(tb, idx, axis=1)
+
+    step = m_pow2
+    n_steps = int(np.log2(m_pow2)) if m_pow2 > 1 else 0
+    for _ in range(n_steps):
         step = step // 2
         mid = lo + step
-        midv = jnp.take(vp[0], jnp.minimum(mid, M - 1), axis=0)
+        midv = jnp.take_along_axis(vpb, jnp.minimum(mid, M - 1), axis=1)
         go = midv < refpos
         lo = jnp.where(go, mid, lo)
-        return (lo, step), None
-
-    n_steps = int(np.log2(m_pow2)) if m_pow2 > 1 else 0
-    (lo, _), _ = jax.lax.scan(body, (lo, step), None, length=n_steps)
     # lo = index of last element < refpos (or 0); candidate is lo or lo+1
-    cand = jnp.minimum(
-        jnp.where(jnp.take(vp[0], jnp.minimum(lo, M - 1)) >= refpos, lo, lo + 1),
-        M - 1)
-    cv = jnp.take(vp[0], cand)
+    lov = jnp.take_along_axis(vpb, jnp.minimum(lo, M - 1), axis=1)
+    cand = jnp.minimum(jnp.where(lov >= refpos, lo, lo + 1), M - 1)
+    cv = jnp.take_along_axis(vpb, cand, axis=1)
     hit = (refpos > 0) & (cv == refpos) & (masked != 15)
-    a0 = jnp.take(a0_ref[0], cand)
-    a1 = jnp.take(a1_ref[0], cand)
-    ni = jnp.take(ni_ref[0], cand)
+    a0 = lut(a0_ref, cand)
+    a1 = lut(a1_ref, cand)
+    ni = lut(ni_ref, cand)
     allele = jnp.where((masked == a0) & (ni > 0), 0,
                        jnp.where((masked == a1) & (ni > 1), 1, OTHER))
     allele = jnp.where(hit, allele, NO_HIT)
@@ -179,7 +181,14 @@ def _alleles_pallas_kernel(vpos_ref, a0_ref, a1_ref, ni_ref,
 
 def assign_alleles_pallas(codes, quals, refpos, vpos, ind_codes, n_ind,
                           baseq: int, block_rows: int = 256):
-    """Pallas TPU version of assign_alleles_device (same outputs)."""
+    """Pallas TPU version of assign_alleles_device (same outputs).
+
+    Mosaic's vector gather requires index shape == operand shape, so the
+    VMEM-resident table is padded to the read length L; tables wider than L
+    (whole-contig tables) fall back to the jnp/XLA kernel, which is already
+    memory-bound on TPU. (A scalar-prefetch windowed variant that slides an
+    L-wide table window per read block is the planned lift — ROADMAP.)
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -188,6 +197,10 @@ def assign_alleles_pallas(codes, quals, refpos, vpos, ind_codes, n_ind,
     m_pow2 = 1
     while m_pow2 < M:
         m_pow2 *= 2
+    if m_pow2 > L:
+        return assign_alleles_device(codes, quals, refpos, vpos, ind_codes,
+                                     n_ind, baseq)
+    m_pow2 = L  # pad table width to L for shape-matched gathers
     # pad variant table to pow2 with sentinel
     pad = m_pow2 - M if m_pow2 > M else 0
     vpos_p = jnp.concatenate([vpos.astype(jnp.int32),
