@@ -95,3 +95,24 @@ def test_gene_ae_invariant_to_read_index_relabeling(tmp_path):
         return out
 
     assert canon(out_a) == canon(out_b)
+
+
+def test_gene_ae_min_haplo_maf_parity(tmp_path):
+    """min_haplo_maf path needs real MAFs: run phasing with gw_phase_method 1."""
+    vcf, bam, data = datagen.write_fixture_dir(
+        str(tmp_path), seed=9, contigs=("chr20",), contig_len=25000,
+        n_variants_per_contig=100, n_reads_per_contig=1800)
+    ref_prefix = str(tmp_path / "ref")
+    p = refrunner.run_reference_phaser(vcf, bam, data.sample, ref_prefix,
+                                       extra={"gw_phase_method": 1})
+    assert p.returncode == 0, p.stdout[-2000:]
+    features = _make_features(data, tmp_path)
+    hap_counts = ref_prefix + ".haplotypic_counts.txt"
+    ref_out = str(tmp_path / "ref_gene_ae.txt")
+    rp = _run_reference_gene_ae(hap_counts, features, ref_out,
+                                {"min_haplo_maf": 0.2})
+    assert rp.returncode == 0, rp.stdout + rp.stderr
+    our_out = str(tmp_path / "our_gene_ae.txt")
+    run_gene_ae(hap_counts, features, our_out, min_haplo_maf=0.2,
+                log=lambda *a: None)
+    assert open(our_out).read() == open(ref_out).read()
