@@ -45,24 +45,45 @@ class SynthData:
     bam_records: List[bamio.BamRecord]
     sample: str = "SAMPLE1"
 
-    def write_vcf(self, path_gz: str, extra_samples: int = 0) -> None:
+    def write_vcf(self, path_gz: str, extra_samples: int = 0,
+                  extra_format: bool = False) -> None:
+        """extra_format adds DP/GQ FORMAT fields (some rows intentionally
+        truncated, exercising the writer's missing-column padding)."""
         lines = [
             "##fileformat=VCFv4.2",
             '##INFO=<ID=AF,Number=A,Type=Float,Description="Allele Frequency">',
             '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         ]
+        if extra_format:
+            lines.append('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">')
+            lines.append('##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="GQ">')
         for c in self.contigs:
             lines.append("##contig=<ID=%s,length=%d>" % (c, self.contig_lens[c]))
         samples = [self.sample] + ["OTHER%d" % i for i in range(extra_samples)]
         lines.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
                      "\t".join(samples))
         rng = np.random.default_rng(7)
-        for v in self.variants:
+        for vi, v in enumerate(self.variants):
             af = ",".join("%g" % a for a in np.atleast_1d(v.af))
+            if extra_format:
+                fmt = "GT:DP:GQ"
+                gt_cell = v.gt + ":%d:%d" % (rng.integers(5, 90),
+                                             rng.integers(10, 99))
+                if vi % 7 == 0:
+                    gt_cell = v.gt  # truncated sample column
+                elif vi % 11 == 0:
+                    gt_cell = v.gt + ":%d" % rng.integers(5, 90)
+            else:
+                fmt = "GT"
+                gt_cell = v.gt
             row = [v.chrom, str(v.pos), v.rsid, v.ref, ",".join(v.alts), "100",
-                   v.filt, "AF=%s" % af, "GT", v.gt]
+                   v.filt, "AF=%s" % af, fmt, gt_cell]
             for _ in range(extra_samples):
-                row.append(rng.choice(["0|0", "0|1", "1|1", "1|0"]))
+                ogt = rng.choice(["0|0", "0|1", "1|1", "1|0"])
+                if extra_format:
+                    ogt = ogt + ":%d:%d" % (rng.integers(5, 90),
+                                            rng.integers(10, 99))
+                row.append(ogt)
             lines.append("\t".join(row))
         text = ("\n".join(lines) + "\n").encode()
         bgzf.compress_to_path(text, path_gz)

@@ -83,3 +83,27 @@ def test_parity_chr_prefix(tmp_path):
     cmp.assert_same_hap_counts(ref + ".haplotypic_counts.txt",
                                ours + ".haplotypic_counts.txt")
     cmp.assert_same_vcf(ref + ".vcf.gz", ours + ".vcf.gz")
+
+
+def test_parity_multifield_format(tmp_path):
+    """GT:DP:GQ FORMAT with truncated sample columns — exercises GT-index
+    lookup and the VCF writer's missing-field padding (:1748-1753)."""
+    data = datagen.generate(seed=45, contigs=("chr20",), contig_len=20000,
+                            n_variants_per_contig=90, n_reads_per_contig=1400)
+    vcf = str(tmp_path / "s.vcf.gz")
+    bam = str(tmp_path / "s.bam")
+    data.write_vcf(vcf, extra_samples=2, extra_format=True)
+    data.write_bam(bam)
+    ref = str(tmp_path / "ref")
+    p = refrunner.run_reference_phaser(vcf, bam, data.sample, ref)
+    assert p.returncode == 0, p.stdout[-3000:]
+    ours = str(tmp_path / "ours")
+    from phaser_tpu.engine.pipeline import run_phaser
+    run_phaser(vcf=vcf, bam=bam, sample=data.sample, o=ours, mapq="10",
+               baseq=10, paired_end="1", opts=PhaserOptions(),
+               log=lambda *a: None)
+    cmp.assert_exact(ref + ".allelic_counts.txt", ours + ".allelic_counts.txt")
+    cmp.assert_same_haplotypes(ref + ".haplotypes.txt", ours + ".haplotypes.txt")
+    cmp.assert_same_hap_counts(ref + ".haplotypic_counts.txt",
+                               ours + ".haplotypic_counts.txt")
+    cmp.assert_same_vcf(ref + ".vcf.gz", ours + ".vcf.gz")
