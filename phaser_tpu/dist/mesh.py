@@ -58,7 +58,10 @@ def sharded_phasing_step(mesh: Mesh, codes, quals, refpos, vpos, ind_codes,
 
     Returns (allele_counts (M,3), pair_band (M,band,9), scores (2^(K-1),)).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from ..kernels.alleles import assign_alleles_device
     from ..kernels.phasescore import enumerate_scores
 
@@ -117,7 +120,10 @@ def sharded_allele_counts(mesh: Mesh, codes, quals, refpos, vpos, ind_codes,
 
     This is the merge semantics of phaser.py:558-586 as one reduction.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from ..kernels.alleles import assign_alleles_device
 
     n_vars = int(vpos.shape[0])

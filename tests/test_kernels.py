@@ -218,3 +218,28 @@ def test_multihost_scaffolding_single_process():
         mesh, codes, quals, refpos, vpos, ind, ni, 10)
     assert counts.shape == (M, 3)
     assert int(np.asarray(counts).sum()) > 0
+
+
+def test_find_weak_points_matches_naive():
+    """Difference-array weak-point counts == the reference's per-position
+    increment semantics (phaser.py:2309-2324) on dense random graphs."""
+    from phaser_tpu.engine.phasing import find_weak_points
+
+    rng = np.random.default_rng(11)
+    for n in (4, 5, 9, 40, 120):
+        variants = list(rng.choice(np.arange(10 * n), n, replace=False))
+        conns = {}
+        for _ in range(3 * n):
+            a, b = rng.integers(0, n, 2)
+            if a == b:
+                continue
+            conns.setdefault(variants[a], set()).add(variants[b])
+        index = {v: i for i, v in enumerate(variants)}
+        naive = {p: 0 for p in range(2, n - 1)}
+        for xvar, cs in conns.items():
+            for c in cs:
+                i, j = index[xvar], index[c]
+                if i < j:
+                    for p in range(max(i + 1, 2), min(j, n - 2) + 1):
+                        naive[p] += 1
+        assert find_weak_points(variants, conns) == naive
