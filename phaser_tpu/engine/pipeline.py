@@ -193,7 +193,8 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         if usize > stream_threshold:
             log("          streaming decode (%.1f GB uncompressed)"
                 % (usize / 1e9))
-            for bd in bamio.iter_bam_stream(xbam):
+            from ..utils.prefetch import iter_prefetch
+            for bd in iter_prefetch(bamio.iter_bam_stream(xbam), depth=2):
                 tracer.add("#2 bam decode", len(bd), "reads")
                 _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag,
                                scores)

@@ -201,3 +201,29 @@ def test_bai_writer(tmp_path):
     assert n_ref == 1
     (n_bin,) = struct.unpack_from("<i", raw, 8)
     assert n_bin > 0
+
+
+def test_iter_prefetch_order_exceptions_and_abandon():
+    from phaser_tpu.utils.prefetch import iter_prefetch
+
+    assert list(iter_prefetch(range(100), depth=3)) == list(range(100))
+    assert list(iter_prefetch(iter([]), depth=1)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    got = []
+    try:
+        for x in iter_prefetch(boom(), depth=2):
+            got.append(x)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "decode failed" in str(e)
+    assert got == [1, 2]
+
+    # abandoning mid-stream must not hang
+    it = iter_prefetch(range(10**6), depth=2)
+    assert next(it) == 0
+    it.close()
