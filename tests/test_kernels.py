@@ -243,3 +243,19 @@ def test_find_weak_points_matches_naive():
                     for p in range(max(i + 1, 2), min(j, n - 2) + 1):
                         naive[p] += 1
         assert find_weak_points(variants, conns) == naive
+
+
+def test_scaling_bench_smoke(capsys):
+    """Scaling harness end-to-end at 1,2 virtual devices (tiny sizes)."""
+    import json
+    from phaser_tpu.dist import scaling_bench
+
+    rc = scaling_bench.main(["--devices", "1,2", "--reads-per-device", "256",
+                             "--read-len", "32", "--variants", "64",
+                             "--iters", "2"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(line)
+    assert res["metric"] == "weak_scaling_efficiency"
+    assert res["per_device"]["2"]["reads"] == 512
+    assert res["per_device"]["2"]["hits"] > 0
