@@ -24,8 +24,12 @@ def main(argv=None) -> int:
                     id_separator=args.id_separator, gw_cutoff=args.gw_cutoff,
                     min_cov=args.min_cov, min_haplo_maf=args.min_haplo_maf)
     except ValueError as e:
+        from ..utils.failures import write_failure_record
+        write_failure_record(args.o, "phaser_gene_ae", e, argv)
         print("ERROR - %s" % e)
         return 1
+    from ..utils.failures import clear_failure_record
+    clear_failure_record(args.o)
     return 0
 
 

@@ -105,8 +105,14 @@ def main(argv=None) -> int:
             chrom=args.chr, opts=opts,
             device=("host" if args.device in ("host", "cpu") else "auto"))
     except (ValueError, RuntimeError, FileNotFoundError) as e:
+        from ..utils.failures import write_failure_record
+        record = write_failure_record(args.o, "phaser", e, argv)
         print("     FATAL ERROR: %s" % e)
+        if record:
+            print("     failure record: %s" % record)
         return 1
+    from ..utils.failures import clear_failure_record
+    clear_failure_record(args.o)
     print('COMPLETED "Read backed phasing" of sample %s in %s hh:mm:ss'
           % (args.sample,
              time.strftime("%H:%M:%S", time.gmtime(time.time() - start))))

@@ -49,13 +49,15 @@ class Tracer:
 
     @contextlib.contextmanager
     def stage(self, name: str, unit: str = "items"):
+        from .failures import failure_stage
         if name not in self.stats:
             self.stats[name] = StageStat(name, unit=unit)
             self.order.append(name)
         st = self.stats[name]
         t0 = time.perf_counter()
         try:
-            yield st
+            with failure_stage(name):
+                yield st
         finally:
             st.seconds += time.perf_counter() - t0
 

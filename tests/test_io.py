@@ -227,3 +227,49 @@ def test_iter_prefetch_order_exceptions_and_abandon():
     it = iter_prefetch(range(10**6), depth=2)
     assert next(it) == 0
     it.close()
+
+
+def test_failure_record_written_and_cleared(tmp_path):
+    """A failed phaser run writes <o>.failure.json (stage + exception chain);
+    a subsequent successful run clears it."""
+    import json
+    from phaser_tpu.cli.phaser_main import main as phaser_main
+    import datagen
+
+    vcf, bam, data = datagen.write_fixture_dir(
+        str(tmp_path), seed=3, n_variants_per_contig=30,
+        n_reads_per_contig=150, contig_len=20000)
+    out = str(tmp_path / "run")
+
+    rc = phaser_main(["--vcf", vcf, "--bam", str(tmp_path / "missing.bam"),
+                      "--sample", "SAMPLE1", "--mapq", "10", "--baseq", "10",
+                      "--paired_end", "1", "--o", out])
+    assert rc == 1
+    rec = json.load(open(out + ".failure.json"))
+    assert rec["tool"] == "phaser"
+    assert rec["exceptions"][0]["type"] == "FileNotFoundError"
+    assert rec["argv"][0] == "--vcf"
+
+    rc = phaser_main(["--vcf", vcf, "--bam", bam, "--sample", "SAMPLE1",
+                      "--mapq", "10", "--baseq", "10", "--paired_end", "1",
+                      "--o", out])
+    assert rc == 0
+    assert not (tmp_path / "run.failure.json").exists()
+
+
+def test_failure_record_stage_marking(tmp_path):
+    """Stage contextvar lands in the record when a stage is active."""
+    from phaser_tpu.utils.failures import (current_stage, failure_stage,
+                                           write_failure_record)
+    import json
+    assert current_stage() is None
+    with failure_stage("#3 connections"):
+        assert current_stage() == "#3 connections"
+        try:
+            raise RuntimeError("boom") 
+        except RuntimeError as e:
+            path = write_failure_record(str(tmp_path / "x"), "phaser", e, [])
+    assert current_stage() is None
+    rec = json.load(open(path))
+    assert rec["stage"] == "#3 connections"
+    assert rec["exceptions"] == [{"type": "RuntimeError", "message": "boom"}]
