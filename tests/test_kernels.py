@@ -1,5 +1,6 @@
 """Device kernels vs host-path equivalence (CPU backend, 8 virtual devices)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -259,3 +260,47 @@ def test_scaling_bench_smoke(capsys):
     assert res["metric"] == "weak_scaling_efficiency"
     assert res["per_device"]["2"]["reads"] == 512
     assert res["per_device"]["2"]["hits"] > 0
+
+
+def test_multiprocess_psum_counts_match_single(tmp_path):
+    """TRUE 2-process run (jax.distributed + Gloo psum): per-host shard
+    ingest -> global arrays -> cross-process count merge, bit-identical to
+    the single-process result."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    import datagen
+    from phaser_tpu.dist.multihost import multiprocess_allele_counts
+
+    vcf, bam, data = datagen.write_fixture_dir(
+        str(tmp_path), seed=5, n_variants_per_contig=60,
+        n_reads_per_contig=400, contig_len=60000)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out0 = str(tmp_path / "mh0.json")
+    procs = []
+    for pid in range(2):
+        cmd = [sys.executable, "-m", "phaser_tpu.dist.multihost",
+               "--bam", bam, "--vcf", vcf, "--sample", "SAMPLE1",
+               "--num-processes", "2", "--process-id", str(pid),
+               "--coordinator", "localhost:%d" % port]
+        if pid == 0:
+            cmd += ["--o", out0]
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS",)}
+        procs.append(subprocess.Popen(cmd, cwd=repo, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out[-2000:]
+
+    c2 = np.array(json.load(open(out0))["counts"])
+    c1 = multiprocess_allele_counts(bam, vcf, "SAMPLE1", 1, 0)
+    assert c2.sum() > 0
+    np.testing.assert_array_equal(c1, c2)
