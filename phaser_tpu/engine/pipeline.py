@@ -154,8 +154,11 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     stream_threshold = float(os.environ.get(
         "PHASER_TPU_STREAM_THRESHOLD_MB", "2048")) * 1e6
 
-    def _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag, scores):
-        """Filter one decoded chunk per contig, assign alleles, record hits."""
+    def _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag):
+        """Filter one decoded chunk per contig and LAUNCH allele assignment
+        (deferred device work — resolution happens after every chunk of
+        every BAM has launched, keeping all device->host fetches after all
+        program launches; see mapper.dispatch docstring)."""
         for c in contig_order:
             vt = tables[c]
             if vt.chrom in bd.ref_names:
@@ -171,13 +174,11 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                 continue
             with tracer.stage("#2 allele assignment", "reads"):
                 chunk = bd.select(keep)
-                hits = assign_alleles_auto(chunk, vt, baseq=baseq, splice=True,
-                                           isize_cutoff=isz, device=device)
+                pending = assign_alleles_auto(chunk, vt, baseq=baseq,
+                                              splice=True, isize_cutoff=isz,
+                                              device=device, defer=True)
             tracer.add("#2 allele assignment", len(chunk), "reads")
-            per_contig_bam_hits[c].append((bam_i, chunk, hits))
-            if len(hits):
-                ha = chunk.has_as[hits.read_idx]
-                scores.extend(chunk.as_score[hits.read_idx][ha].tolist())
+            per_contig_bam_hits[c].append((bam_i, chunk, pending))
 
     for bam_i, (xbam, mq, isz, pe) in enumerate(
             zip(bam_list, mapq_list, isize_list, paired_list)):
@@ -187,7 +188,6 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         if opts.remove_dups == 1:
             excl_flag |= bamio.FLAG_DUP
         req_flag = bamio.FLAG_PROPER_PAIR if int(pe) == 1 else 0
-        scores: List[int] = []
         from ..utils.memtune import bgzf_uncompressed_size
         usize = bgzf_uncompressed_size(xbam)
         if usize > stream_threshold:
@@ -196,16 +196,29 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             from ..utils.prefetch import iter_prefetch
             for bd in iter_prefetch(bamio.iter_bam_stream(xbam), depth=2):
                 tracer.add("#2 bam decode", len(bd), "reads")
-                _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag,
-                               scores)
+                _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag)
         else:
             with tracer.stage("#2 bam decode", "reads"):
                 bd = bamio.read_bam(xbam)
             tracer.add("#2 bam decode", len(bd), "reads")
-            _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag, scores)
+            _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag)
         for c in contig_order:
             log("               completed chromosome %s..." % tables[c].chrom)
-        as_scores_per_bam[bam_i] = scores
+        as_scores_per_bam[bam_i] = []
+
+    # resolve wave: all launches are in flight; fetch + merge each chunk's
+    # hits and collect the per-BAM alignment scores
+    with tracer.stage("#2 hit resolve", "hits"):
+        for c in contig_order:
+            entries = per_contig_bam_hits[c]
+            for ei, (bam_i, chunk, pending) in enumerate(entries):
+                hits = pending.resolve()
+                entries[ei] = (bam_i, chunk, hits)
+                tracer.add("#2 hit resolve", len(hits), "hits")
+                if len(hits):
+                    ha = chunk.has_as[hits.read_idx]
+                    as_scores_per_bam[bam_i].extend(
+                        chunk.as_score[hits.read_idx][ha].tolist())
 
     # AS cutoffs (:540-553): quantile over all rows of the bam
     as_cutoffs: Dict[int, Optional[float]] = {}

@@ -85,5 +85,14 @@ def get_lib():
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_void_p, c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p,
             c.c_void_p, c.c_int]
+        lib.pack_codes_quals_native.restype = None
+        lib.pack_codes_quals_native.argtypes = [
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
+            c.c_void_p, c.c_void_p, c.c_int]
+        lib.pack_affine_native.restype = None
+        lib.pack_affine_native.argtypes = [
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
         _lib = lib
     return _lib

@@ -333,7 +333,7 @@ void pack_reads_native(
     int64_t n, const int32_t* pos, const uint32_t* cigar,
     const int64_t* cigar_off, const uint8_t* seq, const uint8_t* qual,
     const int64_t* seq_off,
-    // outputs (n x L), zero-initialized by caller
+    // outputs (n x L); may be UNinitialized — padding is zero-filled here
     int64_t L, uint8_t* codes, uint8_t* quals, int32_t* refpos,
     int n_threads) {
   if (n_threads < 1) n_threads = 1;
@@ -346,7 +346,10 @@ void pack_reads_native(
         if (slen > L) slen = L;
         memcpy(codes + i * L, seq + so, slen);
         memcpy(quals + i * L, qual + so, slen);
+        memset(codes + i * L + slen, 0, L - slen);
+        memset(quals + i * L + slen, 0, L - slen);
         int32_t* rp = refpos + i * L;
+        memset(rp, 0, L * sizeof(int32_t));
         int64_t read_i = 0;
         int64_t g = (int64_t)pos[i] + 1;  // 1-based
         for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
@@ -367,6 +370,83 @@ void pack_reads_native(
           }
           if (read_i >= L) break;
         }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// codes/quals-only packing for the affine device path (refpos is computed
+// on device from per-read (start, lo, hi) — two-thirds less host traffic)
+void pack_codes_quals_native(
+    int64_t n, const uint8_t* seq, const uint8_t* qual,
+    const int64_t* seq_off, int64_t L, uint8_t* codes, uint8_t* quals,
+    int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (int64_t i = t; i < n; i += n_threads) {
+        int64_t so = seq_off[i];
+        int64_t slen = seq_off[i + 1] - so;
+        if (slen > L) slen = L;
+        memcpy(codes + i * L, seq + so, slen);
+        memcpy(quals + i * L, qual + so, slen);
+        memset(codes + i * L + slen, 0, L - slen);
+        memset(quals + i * L + slen, 0, L - slen);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// codes/quals packing fused with affine CIGAR classification: one pass
+// emits the planes plus per-read (is_affine, start, lo, hi) for the
+// device-side refpos reconstruction (mapper.dispatch._affine_params
+// semantics, at native speed)
+void pack_affine_native(
+    int64_t n, const int32_t* pos, const uint32_t* cigar,
+    const int64_t* cigar_off, const uint8_t* seq, const uint8_t* qual,
+    const int64_t* seq_off, int64_t L, uint8_t* codes, uint8_t* quals,
+    uint8_t* is_affine, int32_t* start, int32_t* lo, int32_t* hi,
+    int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (int64_t i = t; i < n; i += n_threads) {
+        int64_t so = seq_off[i];
+        int64_t slen = seq_off[i + 1] - so;
+        if (slen > L) slen = L;
+        memcpy(codes + i * L, seq + so, slen);
+        memcpy(quals + i * L, qual + so, slen);
+        memset(codes + i * L + slen, 0, L - slen);
+        memset(quals + i * L + slen, 0, L - slen);
+
+        bool bad = false;
+        int64_t first_m = -1, last_m = -1, n_m = 0;
+        int64_t lead_s = 0, m_total = 0;
+        for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
+          uint32_t opc = cigar[c] & 0xF;
+          int64_t len = cigar[c] >> 4;
+          int64_t w = c - cigar_off[i];
+          bool m_type = (opc == 0 || opc == 7 || opc == 8);  // M,=,X
+          if (m_type) {
+            if (first_m < 0) first_m = w;
+            last_m = w;
+            n_m++;
+            m_total += len;
+          } else if (opc == 4) {                             // S
+            if (first_m < 0) lead_s += len;
+          } else if (opc != 5) {                             // H allowed
+            bad = true;
+          }
+        }
+        bool affine = !bad && n_m >= 1 && (last_m - first_m + 1 == n_m);
+        is_affine[i] = affine ? 1 : 0;
+        start[i] = pos[i] + 1;
+        lo[i] = (int32_t)lead_s;
+        hi[i] = (int32_t)(lead_s + m_total);
       }
     });
   }

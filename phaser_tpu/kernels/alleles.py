@@ -86,21 +86,47 @@ def compact_hits(vidx: jax.Array, allele: jax.Array,
     return out_r, out_v, out_a, n_hits
 
 
-def pack_reads(bd, max_len: int = 0,
-               native: bool = True) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+_pack_bufs: dict = {}
+
+
+def _reuse_buf(tag: str, n: int, L: int, dtype) -> np.ndarray:
+    """Cached (n, L) scratch view; grown geometrically, pages stay hot."""
+    need = n * L
+    flat = _pack_bufs.get(tag)
+    if flat is None or flat.size < need:
+        cap = max(need, 2 * (flat.size if flat is not None else 0), 1)
+        flat = np.empty(cap, dtype)
+        _pack_bufs[tag] = flat
+    return flat[:need].reshape(n, L)
+
+
+def pack_reads(bd, max_len: int = 0, native: bool = True,
+               reuse: bool = False) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side packing of a BamData subset into (codes, quals, refpos)
     padded (N, L) tensors. L is rounded up to a multiple of 128 (lane width).
 
-    Uses the C++ packer (CIGAR expansion fused with the copy, multithreaded)
-    when available; numpy fallback otherwise.
+    Uses the C++ packer (CIGAR expansion fused with the copy, multithreaded;
+    zero-fills padding itself) when available; numpy fallback otherwise.
+    With reuse=True the outputs are views of cached scratch buffers —
+    INVALIDATED by the next reuse=True call — avoiding tens of MB of fresh
+    page-faulted allocation per batch on the hot path.
     """
     n = len(bd)
     lens = np.diff(bd.seq_off)
     L = int(max(max_len, lens.max() if n else 1))
     L = ((L + 127) // 128) * 128
-    codes = np.zeros((n, L), np.uint8)
-    quals = np.zeros((n, L), np.uint8)
-    refpos = np.zeros((n, L), np.int32)
+    native_ok = False
+    if native and n:
+        from ..io import native as native_mod
+        native_ok = native_mod.get_lib() is not None
+    if reuse and native_ok:
+        codes = _reuse_buf("codes", n, L, np.uint8)
+        quals = _reuse_buf("quals", n, L, np.uint8)
+        refpos = _reuse_buf("refpos", n, L, np.int32)
+    else:
+        codes = np.zeros((n, L), np.uint8)
+        quals = np.zeros((n, L), np.uint8)
+        refpos = np.zeros((n, L), np.int32)
     if native and n:
         from ..io import native as native_mod
         lib = native_mod.get_lib()
@@ -130,6 +156,187 @@ def pack_reads(bd, max_len: int = 0,
     quals[rows, idx] = bd.qual_flat
     refpos[rows, idx] = rp_flat
     return codes, quals, refpos
+
+
+def _pack_hits(vidx: jax.Array, allele: jax.Array, masked: jax.Array,
+               capacity: int) -> jax.Array:
+    """Compaction into a transfer-friendly layout for high-latency links:
+    ONE (2, capacity+1) int32 array — row 0 is [n_hits, read_0, read_1, ...],
+    row 1 is [-1, (var_0 << 8) | (base_code_0 << 4) | allele_0, ...]. The
+    caller fetches a >=1024-column head slice (sub-1024 device->host fetches
+    cost seconds through the axon tunnel; one batched fetch costs ~5 ms) and
+    only goes back for a bigger slice when n_hits spills past the head.
+    Embedding the observed (masked) base nibble means hit emission needs NO
+    further host-side gathers into the read planes.
+
+    Requires var_idx < 2^23 (dispatch guards this); int32 throughout —
+    safe under disabled x64.
+    """
+    N, L = vidx.shape
+    flat_v = vidx.reshape(-1).astype(jnp.int32)
+    flat_a = allele.reshape(-1).astype(jnp.int32)
+    flat_m = masked.reshape(-1).astype(jnp.int32)
+    is_hit = flat_a < NO_HIT
+    pos = jnp.cumsum(is_hit) - 1
+    n_hits = jnp.sum(is_hit).astype(jnp.int32)
+    read_of = (jnp.arange(N * L, dtype=jnp.int32) // L)
+    word = (flat_v << 8) | (flat_m << 4) | flat_a
+    out = jnp.full((2, capacity + 1), -1, jnp.int32)
+    out = out.at[0, 0].set(n_hits)
+    idx = jnp.where(is_hit, pos + 1, capacity + 1)  # dropped past capacity
+    out = out.at[0, idx].set(read_of, mode="drop")
+    return out.at[1, idx].set(word, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("baseq", "capacity"))
+def assign_compact_plane(codes: jax.Array, quals: jax.Array,
+                         refpos: jax.Array, vpos: jax.Array,
+                         ind_codes: jax.Array, n_ind: jax.Array,
+                         baseq: int, capacity: int) -> jax.Array:
+    """Fused assign_alleles_device + hit packing: ONE program whose only
+    output is the small packed-hit buffer (the (N, L) classification planes
+    never leave the device)."""
+    vidx, allele = assign_alleles_device(codes, quals, refpos, vpos,
+                                         ind_codes, n_ind, baseq)
+    masked = jnp.where(quals >= baseq, codes, jnp.uint8(15))
+    return _pack_hits(vidx, allele, masked, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("baseq", "capacity"))
+def assign_compact_affine(codes: jax.Array, quals: jax.Array,
+                          start: jax.Array, lo: jax.Array, hi: jax.Array,
+                          vpos: jax.Array, ind_codes: jax.Array,
+                          n_ind: jax.Array, baseq: int,
+                          capacity: int) -> jax.Array:
+    """Fused affine assign + hit packing (see assign_compact_plane)."""
+    vidx, allele = assign_alleles_affine_device(codes, quals, start, lo, hi,
+                                                vpos, ind_codes, n_ind, baseq)
+    masked = jnp.where(quals >= baseq, codes, jnp.uint8(15))
+    return _pack_hits(vidx, allele, masked, capacity)
+
+
+def fetch_packed_hits(packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                       np.ndarray, int]:
+    """Host fetch of a packed-hit buffer as ONE whole-array transfer.
+    Returns (read_idx, var_idx, allele_class, base_code, n_hits); n_hits may
+    exceed the capacity (overflow — caller falls back).
+
+    Deliberately no device-side slicing: through the axon tunnel, raw
+    transfers run at ~200 MB/s while launching ANY program after the first
+    device->host fetch costs seconds (per-op dispatch mode), so moving the
+    whole buffer is far cheaper than executing a slice to shrink it."""
+    cap = int(packed.shape[1]) - 1
+    full = np.asarray(packed).astype(np.int64)
+    nh = int(full[0, 0])
+    if nh > cap:
+        return (np.zeros(0, np.int64),) * 2 + \
+            (np.zeros(0, np.int16),) * 2 + (nh,)
+    body = full[:, 1:1 + nh]
+    r = body[0]
+    v = body[1] >> 8
+    a = (body[1] & 0xF).astype(np.int16)
+    mc = ((body[1] >> 4) & 0xF).astype(np.int16)
+    return r, v, a, mc, nh
+
+
+def _next_pow2_i(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def pack_codes_quals(bd, max_len: int = 0,
+                     reuse: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """codes/quals planes only (no refpos) — the host half of the AFFINE
+    device path, where refpos is reconstructed on device from per-read
+    (start, lo, hi). Cuts host write traffic from 6 to 2 bytes/element."""
+    n = len(bd)
+    lens = np.diff(bd.seq_off)
+    L = int(max(max_len, lens.max() if n else 1))
+    L = ((L + 127) // 128) * 128
+    from ..io import native as native_mod
+    lib = native_mod.get_lib() if n else None
+    if lib is not None and hasattr(lib, "pack_codes_quals_native"):
+        if reuse:
+            codes = _reuse_buf("codes", n, L, np.uint8)
+            quals = _reuse_buf("quals", n, L, np.uint8)
+        else:
+            codes = np.empty((n, L), np.uint8)
+            quals = np.empty((n, L), np.uint8)
+        import ctypes
+        import os as _os
+        ptr = ctypes.c_void_p
+        seq = np.ascontiguousarray(bd.seq_flat, np.uint8)
+        qual = np.ascontiguousarray(bd.qual_flat, np.uint8)
+        soff = np.ascontiguousarray(bd.seq_off, np.int64)
+        lib.pack_codes_quals_native(
+            n, seq.ctypes.data_as(ptr), qual.ctypes.data_as(ptr),
+            soff.ctypes.data_as(ptr), L, codes.ctypes.data_as(ptr),
+            quals.ctypes.data_as(ptr), min(_os.cpu_count() or 1, 8))
+        return codes, quals
+    c, q, _ = pack_reads(bd, max_len=max_len, native=False)
+    return c, q
+
+
+def pack_affine(bd, max_len: int = 0, reuse: bool = False):
+    """One-pass native packing of codes/quals planes PLUS per-read affine
+    CIGAR classification (is_affine, start, lo, hi). Returns None when the
+    native library is unavailable (caller composes pack_codes_quals with
+    the numpy classifier instead)."""
+    n = len(bd)
+    lens = np.diff(bd.seq_off)
+    L = int(max(max_len, lens.max() if n else 1))
+    L = ((L + 127) // 128) * 128
+    from ..io import native as native_mod
+    lib = native_mod.get_lib() if n else None
+    if lib is None or not hasattr(lib, "pack_affine_native"):
+        return None
+    if reuse:
+        codes = _reuse_buf("codes", n, L, np.uint8)
+        quals = _reuse_buf("quals", n, L, np.uint8)
+    else:
+        codes = np.empty((n, L), np.uint8)
+        quals = np.empty((n, L), np.uint8)
+    is_aff = np.empty(n, np.uint8)
+    start = np.empty(n, np.int32)
+    lo = np.empty(n, np.int32)
+    hi = np.empty(n, np.int32)
+    import ctypes
+    import os as _os
+    ptr = ctypes.c_void_p
+    pos = np.ascontiguousarray(bd.pos, np.int32)
+    cig = np.ascontiguousarray(bd.cigar_flat, np.uint32)
+    coff = np.ascontiguousarray(bd.cigar_off, np.int64)
+    seq = np.ascontiguousarray(bd.seq_flat, np.uint8)
+    qual = np.ascontiguousarray(bd.qual_flat, np.uint8)
+    soff = np.ascontiguousarray(bd.seq_off, np.int64)
+    lib.pack_affine_native(
+        n, pos.ctypes.data_as(ptr), cig.ctypes.data_as(ptr),
+        coff.ctypes.data_as(ptr), seq.ctypes.data_as(ptr),
+        qual.ctypes.data_as(ptr), soff.ctypes.data_as(ptr), L,
+        codes.ctypes.data_as(ptr), quals.ctypes.data_as(ptr),
+        is_aff.ctypes.data_as(ptr), start.ctypes.data_as(ptr),
+        lo.ctypes.data_as(ptr), hi.ctypes.data_as(ptr),
+        min(_os.cpu_count() or 1, 8))
+    return codes, quals, is_aff.astype(bool), start, lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=("baseq",))
+def assign_alleles_affine_device(codes: jax.Array, quals: jax.Array,
+                                 start: jax.Array, lo: jax.Array,
+                                 hi: jax.Array, vpos: jax.Array,
+                                 ind_codes: jax.Array, n_ind: jax.Array,
+                                 baseq: int) -> Tuple[jax.Array, jax.Array]:
+    """assign_alleles_device for affine reads (one M/=/X run, clips only):
+    refpos[i] = start + (i - lo) for lo <= i < hi, else 0 — materialized in
+    HBM on device instead of being written + shipped from the host."""
+    i = jnp.arange(codes.shape[1], dtype=jnp.int32)[None, :]
+    aligned = (i >= lo[:, None]) & (i < hi[:, None])
+    refpos = jnp.where(aligned, start[:, None] + (i - lo[:, None]),
+                       jnp.int32(0))
+    return assign_alleles_device(codes, quals, refpos, vpos, ind_codes,
+                                 n_ind, baseq)
 
 
 # ---------------------------------------------------------------------------

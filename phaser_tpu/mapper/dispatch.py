@@ -1,22 +1,31 @@
 """Device/host dispatch for allele assignment.
 
-The device kernel (kernels.alleles) covers the overwhelmingly common case —
-reads without insertions against single-base variants at unique positions —
-and the host path handles the exact-semantics remainder (insertion splicing,
-multi-base alleles, duplicate-position table entries).  Row union and order
-are identical to the pure host path (verified by tests).
+The device kernels (kernels.alleles) cover the overwhelmingly common cases —
+an AFFINE fast path for single-M-run reads (refpos reconstructed on device
+from per-read (start, lo, hi); host ships only 2 bytes/base) and a
+refpos-plane path for D/N/split-M reads — while the host path handles the
+exact-semantics remainder (insertion splicing, multi-base alleles,
+duplicate-position table entries). Row union and order are identical to the
+pure host path (verified by tests).
+
+Launch/resolve are SPLIT: `assign_alleles_auto(..., defer=True)` uploads and
+launches the fused assign+compact programs and returns a PendingHits;
+`.resolve()` fetches the packed hits and merges. Callers that process many
+chunks should launch them all first, then resolve — the axon TPU tunnel
+permanently drops into per-op dispatch latency after the first
+device->host transfer, so all program launches must precede the first fetch.
 
 Shapes are bucketed to powers of two to bound XLA recompilation.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
 from ..engine.varmap import VariantTable
-from ..io.bam import BamData, OP_I, OP_N
+from ..io.bam import (BamData, OP_EQ, OP_H, OP_I, OP_M, OP_N, OP_S, OP_X)
 from .host import ContigHits, assign_alleles
 
 
@@ -38,19 +47,114 @@ def _read_op_masks(bd: BamData):
     return has_ins, has_n
 
 
+def _affine_params(bd: BamData):
+    """Per-read affine classification: reads whose CIGAR is one contiguous
+    M/=/X run plus end clips (S/H) have refpos[i] = pos+1 + (i - lo) on
+    [lo, hi) and 0 elsewhere. Returns (is_affine, start, lo, hi); reads
+    classified non-affine (D/N/I/P or split M runs) are simply routed to
+    the refpos-plane or host paths — classification is conservative."""
+    n = len(bd)
+    opc = (bd.cigar_flat & 0xF).astype(np.int64)
+    oplen = (bd.cigar_flat >> 4).astype(np.int64)
+    ops_per_read = np.diff(bd.cigar_off)
+    op_read = np.repeat(np.arange(n), ops_per_read)
+    within = np.arange(len(opc)) - np.repeat(bd.cigar_off[:-1], ops_per_read)
+
+    is_m = (opc == OP_M) | (opc == OP_EQ) | (opc == OP_X)
+    allowed = is_m | (opc == OP_S) | (opc == OP_H)
+    has_bad = np.zeros(n, bool)
+    np.logical_or.at(has_bad, op_read, ~allowed)
+
+    n_m = np.zeros(n, np.int64)
+    np.add.at(n_m, op_read, is_m.astype(np.int64))
+    first_m = np.full(n, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(first_m, op_read[is_m], within[is_m])
+    last_m = np.full(n, -1, np.int64)
+    np.maximum.at(last_m, op_read[is_m], within[is_m])
+    contig_m = (n_m >= 1) & (last_m - first_m + 1 == n_m)
+    is_affine = ~has_bad & contig_m
+
+    lo = np.zeros(n, np.int64)
+    lead_s = (opc == OP_S) & (within < first_m[op_read])
+    np.add.at(lo, op_read[lead_s], oplen[lead_s])
+    m_total = np.zeros(n, np.int64)
+    np.add.at(m_total, op_read[is_m], oplen[is_m])
+    start = bd.pos.astype(np.int64) + 1
+    return is_affine, start.astype(np.int32), lo.astype(np.int32), \
+        (lo + m_total).astype(np.int32)
+
+
+class PendingHits:
+    """Launched device work + completed host parts for one chunk.
+
+    resolve() performs the device->host fetches and the final merge; it is
+    safe to call long after launch (device buffers are held alive here)."""
+
+    def __init__(self, fallback: Callable[[], ContigHits],
+                 dev_parts: List[Tuple[object, int, Optional[np.ndarray],
+                                       np.ndarray]],
+                 host_parts: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+                 hits_map: dict):
+        self._fallback = fallback
+        self._dev = dev_parts          # (packed_dev, cap, row_map, dev_vidx)
+        self._host = host_parts        # (read_idx, var_idx, codes16)
+        self._map = hits_map
+
+    def resolve(self) -> ContigHits:
+        from ..kernels.alleles import fetch_packed_hits
+
+        rows_parts = list(self._host)
+        for packed, cap, row_map, dev_vidx in self._dev:
+            r, v, a, mc, nh = fetch_packed_hits(packed)
+            if nh > cap:
+                # capacity overflow: exact host rerun for the chunk (rare)
+                return self._fallback()
+            vfull = dev_vidx[v]
+            codes_out = mc  # the observed masked nibble IS the allele code
+            if row_map is not None:
+                r = row_map[r]
+            rows_parts.append((r, vfull, codes_out))
+
+        if not rows_parts:
+            return ContigHits(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                              np.zeros(0, np.int16))
+        all_r = np.concatenate([p[0] for p in rows_parts]).astype(np.int64)
+        all_v = np.concatenate([p[1] for p in rows_parts]).astype(np.int64)
+        all_c = np.concatenate([p[2] for p in rows_parts]).astype(np.int16)
+        order = np.lexsort((all_v, all_r))
+        hits = ContigHits(all_r[order], all_v[order], all_c[order])
+        if self._map:
+            for newpos, oldpos in enumerate(order):
+                key = (int(all_r[oldpos]), int(all_v[oldpos]))
+                if key in self._map:
+                    hits.allele_strs[newpos] = self._map[key]
+                    hits.allele_code[newpos] = -1
+        return hits
+
+
 def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                         splice: bool = True, isize_cutoff: float = 0,
-                        device: str = "auto") -> ContigHits:
-    """Device-accelerated assign_alleles with exact host fallback."""
+                        device: str = "auto", defer: bool = False):
+    """Device-accelerated assign_alleles with exact host fallback.
+
+    With defer=True returns a PendingHits (launch only); otherwise returns
+    the resolved ContigHits directly."""
     if device in ("host", "off") or len(bd) == 0 or len(vt) == 0:
-        return assign_alleles(bd, vt, baseq=baseq, splice=splice,
+        hits = assign_alleles(bd, vt, baseq=baseq, splice=splice,
                               isize_cutoff=isize_cutoff)
+        return _ResolvedPending(hits) if defer else hits
+    import jax
     import jax.numpy as jnp
-    from ..kernels.alleles import (assign_alleles_device, compact_hits,
+    from ..kernels.alleles import (assign_compact_affine,
+                                   assign_compact_plane, pack_codes_quals,
                                    pack_reads)
 
     if np.any(np.diff(vt.pos) < 0):
         raise ValueError("variant table must be position-sorted")
+
+    def _fallback():
+        return assign_alleles(bd, vt, baseq=baseq, splice=splice,
+                              isize_cutoff=isize_cutoff)
 
     has_ins, has_n = _read_op_masks(bd)
     keep_read = np.ones(len(bd), bool)
@@ -67,21 +171,19 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
         dup[1:] |= d
         dup[:-1] |= d
     dev_var = vt.is_simple & ~dup
+    if len(vt) >= (1 << 23):  # packed-hit layout limit; never seen per-contig
+        hits = _fallback()
+        return _ResolvedPending(hits) if defer else hits
     dev_vidx = np.flatnonzero(dev_var)
 
     dev_read = keep_read & ~has_ins
+    # CPU backend device_put can alias numpy buffers zero-copy — scratch
+    # reuse is only safe where uploads are real copies
+    reuse = jax.default_backend() not in ("cpu",)
 
-    rows_parts = []
+    dev_parts = []
+    host_parts = []
     if dev_vidx.size and dev_read.any():
-        codes, quals, refpos = pack_reads(bd)
-        refpos[~dev_read, :] = 0  # ineligible reads produce no device hits
-        # pad shapes to pow2 buckets to bound compilation
-        N, L = codes.shape
-        Np = _next_pow2(max(N, 8))
-        if Np != N:
-            codes = np.pad(codes, ((0, Np - N), (0, 0)))
-            quals = np.pad(quals, ((0, Np - N), (0, 0)))
-            refpos = np.pad(refpos, ((0, Np - N), (0, 0)))
         M = dev_vidx.size
         Mp = _next_pow2(max(M, 8))
         vpos = np.full(Mp, np.iinfo(np.int32).max, np.int32)
@@ -90,54 +192,72 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
         ind[:M] = vt.ind_codes[dev_vidx]
         ni = np.zeros(Mp, np.int8)
         ni[:M] = vt.n_ind[dev_vidx]
-        vidx_m, allele_m = assign_alleles_device(
-            jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos),
-            jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni), baseq)
-        cap = _next_pow2(max(int(codes.size) // 8, 1024))
-        r, v, a, nh = compact_hits(vidx_m, allele_m, cap)
-        nh = int(nh)
-        if nh > cap:
-            # capacity overflow: fall back to host entirely (rare)
-            return assign_alleles(bd, vt, baseq=baseq, splice=splice,
-                                  isize_cutoff=isize_cutoff)
-        r = np.asarray(r[:nh]).astype(np.int64)
-        v = np.asarray(v[:nh]).astype(np.int64)
-        a = np.asarray(a[:nh]).astype(np.int16)
-        # map device variant index -> table index; recover nibble code
-        vfull = dev_vidx[v]
-        codes_out = np.where(
-            a == 0, vt.ind_codes[vfull, 0],
-            np.where(a == 1, vt.ind_codes[vfull, 1], 0)).astype(np.int16)
-        # 'other' hits: recover the actual masked base code
-        other = a == 2
-        if other.any():
-            base_rows = r[other]
-            # find the base whose refpos equals the variant position
-            # (codes/quals already packed; gather)
-            rp = refpos[base_rows]
-            target = pos[vfull[other]].astype(np.int32)[:, None]
-            col = np.argmax(rp == target, axis=1)
-            oc = codes[base_rows, col]
-            oq = quals[base_rows, col]
-            oc = np.where(oq < baseq, 15, oc)
-            codes_out[other] = oc
-        rows_parts.append((r, vfull, codes_out))
+        jv, ji, jn = jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni)
+
+        from ..kernels.alleles import pack_affine
+        fused_pack = pack_affine(bd, reuse=reuse)
+        if fused_pack is not None:
+            codes, quals, is_aff, a_start, a_lo, a_hi = fused_pack
+        else:
+            is_aff, a_start, a_lo, a_hi = _affine_params(bd)
+            codes = quals = None
+        aff = dev_read & is_aff
+
+        if aff.any():
+            # affine fast path: codes/quals planes only, refpos on device
+            if codes is None:
+                codes, quals = pack_codes_quals(bd, reuse=reuse)
+            N, L = codes.shape
+            Np = _next_pow2(max(N, 8))
+            st_k = np.where(aff, a_start, 0).astype(np.int32)
+            lo_k = np.where(aff, a_lo, 0).astype(np.int32)
+            hi_k = np.where(aff, a_hi, 0).astype(np.int32)
+            if Np != N:
+                codes_p = np.pad(codes, ((0, Np - N), (0, 0)))
+                quals_p = np.pad(quals, ((0, Np - N), (0, 0)))
+                st_k, lo_k, hi_k = (np.pad(x, (0, Np - N))
+                                    for x in (st_k, lo_k, hi_k))
+            else:
+                codes_p, quals_p = codes, quals
+            cap = _next_pow2(max(int(codes_p.size) // 32, 8192))
+            jc, jq = jnp.asarray(codes_p), jnp.asarray(quals_p)
+            if reuse:
+                # scratch buffers are rewritten by the next chunk's pack;
+                # wait for the copy to complete before returning
+                jax.block_until_ready((jc, jq))
+            packed = assign_compact_affine(
+                jc, jq, jnp.asarray(st_k), jnp.asarray(lo_k),
+                jnp.asarray(hi_k), jv, ji, jn, baseq, cap)
+            dev_parts.append((packed, cap, None, dev_vidx))
+
+        plane_sel = np.flatnonzero(dev_read & ~is_aff)
+        if plane_sel.size:
+            # refpos-plane path for D/N/split-M reads (small remainder)
+            sub = bd.select(plane_sel)
+            codes2, quals2, refpos2 = pack_reads(sub)
+            N2, L2 = codes2.shape
+            Np2 = _next_pow2(max(N2, 8))
+            if Np2 != N2:
+                codes2 = np.pad(codes2, ((0, Np2 - N2), (0, 0)))
+                quals2 = np.pad(quals2, ((0, Np2 - N2), (0, 0)))
+                refpos2 = np.pad(refpos2, ((0, Np2 - N2), (0, 0)))
+            cap2 = _next_pow2(max(int(codes2.size) // 32, 8192))
+            packed2 = assign_compact_plane(
+                jnp.asarray(codes2), jnp.asarray(quals2),
+                jnp.asarray(refpos2), jv, ji, jn, baseq, cap2)
+            dev_parts.append((packed2, cap2, plane_sel, dev_vidx))
 
     # host remainder 1: insertion reads vs all variants
+    hits_map = {}
     ins_sel = np.flatnonzero(has_ins & keep_read)
     if ins_sel.size:
         sub = bd.select(ins_sel)
         h = assign_alleles(sub, vt, baseq=baseq, splice=splice,
                            isize_cutoff=isize_cutoff)
-        hits_map = {}
         rr = ins_sel[h.read_idx]
-        codes16 = h.allele_code.copy()
-        part = (rr, h.var_idx.copy(), codes16)
-        rows_parts.append(part)
+        host_parts.append((rr, h.var_idx.copy(), h.allele_code.copy()))
         for row, s in h.allele_strs.items():
             hits_map[(int(rr[row]), int(h.var_idx[row]))] = s
-    else:
-        hits_map = {}
 
     # host remainder 2: non-device variants vs non-insertion reads
     rem_vidx = np.flatnonzero(~dev_var)
@@ -157,23 +277,19 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                            isize_cutoff=isize_cutoff)
         rr = nonins_sel[h.read_idx]
         vv = rem_vidx[h.var_idx]
-        rows_parts.append((rr, vv, h.allele_code.copy()))
+        host_parts.append((rr, vv, h.allele_code.copy()))
         for row, s in h.allele_strs.items():
             hits_map[(int(rr[row]), int(vv[row]))] = s
 
-    if not rows_parts:
-        return ContigHits(np.zeros(0, np.int64), np.zeros(0, np.int64),
-                          np.zeros(0, np.int16))
-    all_r = np.concatenate([p[0] for p in rows_parts]).astype(np.int64)
-    all_v = np.concatenate([p[1] for p in rows_parts]).astype(np.int64)
-    all_c = np.concatenate([p[2] for p in rows_parts]).astype(np.int16)
-    order = np.lexsort((all_v, all_r))
-    hits = ContigHits(all_r[order], all_v[order], all_c[order])
-    if hits_map:
-        inv_lookup = {}
-        for newpos, oldpos in enumerate(order):
-            key = (int(all_r[oldpos]), int(all_v[oldpos]))
-            if key in hits_map:
-                hits.allele_strs[newpos] = hits_map[key]
-                hits.allele_code[newpos] = -1
-    return hits
+    pending = PendingHits(_fallback, dev_parts, host_parts, hits_map)
+    return pending if defer else pending.resolve()
+
+
+class _ResolvedPending:
+    """PendingHits-compatible wrapper around an already-resolved result."""
+
+    def __init__(self, hits: ContigHits):
+        self._hits = hits
+
+    def resolve(self) -> ContigHits:
+        return self._hits

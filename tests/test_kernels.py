@@ -304,3 +304,30 @@ def test_multiprocess_psum_counts_match_single(tmp_path):
     c1 = multiprocess_allele_counts(bam, vcf, "SAMPLE1", 1, 0)
     assert c2.sum() > 0
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_pack_affine_matches_numpy_classifier(tmp_path):
+    """C++ fused pack+affine == pack_codes_quals + _affine_params on reads
+    with clips, splices, deletions, insertions."""
+    from phaser_tpu.kernels.alleles import pack_affine, pack_codes_quals
+    from phaser_tpu.mapper.dispatch import _affine_params
+
+    data = datagen.generate(seed=21, contigs=("chr1",), contig_len=100000,
+                            n_variants_per_contig=50, n_reads_per_contig=400,
+                            read_len=90, frac_spliced=0.3,
+                            frac_indel_reads=0.2, frac_softclip=0.3)
+    p = str(tmp_path / "x.bam")
+    data.write_bam(p)
+    bd = bamio.read_bam(p)
+    out = pack_affine(bd)
+    assert out is not None
+    codes, quals, is_aff, start, lo, hi = out
+    c2, q2 = pack_codes_quals(bd)
+    np.testing.assert_array_equal(codes, c2)
+    np.testing.assert_array_equal(quals, q2)
+    ia, st, l2, h2 = _affine_params(bd)
+    np.testing.assert_array_equal(is_aff, ia)
+    np.testing.assert_array_equal(start, st)
+    np.testing.assert_array_equal(lo[ia], l2[ia])
+    np.testing.assert_array_equal(hi[ia], h2[ia])
+    assert is_aff.sum() > 0 and (~is_aff).sum() > 0
