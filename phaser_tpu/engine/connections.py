@@ -182,7 +182,11 @@ def build_connections(vr: VariantReads, noise_e: float,
 
     # ---- counts over deduplicated hits (all allele classes)
     counts = None
-    if P and device != "host":
+    # device counting only pays off for large pair universes: each program
+    # launch after the engine's hit fetches costs seconds through the axon
+    # tunnel (see mapper.dispatch docstring), and the host segment-sum path
+    # handles small/medium contigs in microseconds
+    if P >= 200_000 and device != "host":
         counts = _device_pair_counts(vr, uniq_pk, len(vt))
     if counts is None:
         counts = np.zeros((P, 3, 3), np.int64)

@@ -138,9 +138,12 @@ def sub_block_phase(variants: Sequence[int], ac: AlleleConn,
             if xhap is not None:
                 return xhap[0]
         n = len(variants)
-        if n >= 12:
+        if n >= 16:
             # batched device scoring (kernels.phasescore): same enumeration
-            # order, exact integer scores on the MXU
+            # order, exact integer scores on the MXU. Host einsum covers the
+            # default --max_block_size 15 in milliseconds; the device pays
+            # off only for raised block caps (2^n config explosion), and
+            # avoiding the launch matters on high-latency device links.
             result = _device_full_enumeration(variants, ac, n)
             if result is not None:
                 return result

@@ -69,6 +69,9 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
 
     # tune the allocator + pre-fault the working set (lazily-backed VMs
     # serve first-touch faults remotely; see utils/memtune)
+    if device not in ("host", "off"):
+        from ..utils.jaxtune import enable_compile_cache
+        enable_compile_cache()
     from ..utils import memtune
     bam_bytes = 0
     for x in bam.split(","):
