@@ -64,8 +64,9 @@ def bench_device(bd, vt):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from phaser_tpu.kernels.alleles import (assign_compact_affine,
-                                            fetch_packed_hits, pack_affine)
+    from phaser_tpu.kernels.alleles import (assign_compact_affine_masked,
+                                            fetch_packed_hits,
+                                            pack_affine_masked)
     from phaser_tpu.mapper.dispatch import (_affine_params, _next_pow2,
                                             assign_alleles_auto)
 
@@ -76,24 +77,25 @@ def bench_device(bd, vt):
     ind = jnp.asarray(vt.ind_codes[keep])
     ni = jnp.asarray(vt.n_ind[keep])
 
-    # host half: one-pass C++ codes/quals pack + affine classification
-    codes, quals, is_aff, a_st, a_lo, a_hi = pack_affine(bd, reuse=True)
+    # host half: one-pass C++ masked-plane pack + affine classification
+    codes, is_aff, a_st, a_lo, a_hi = pack_affine_masked(bd, 10, reuse=True)
     t_pack0 = time.perf_counter()
     pack_iters = 3
     for _ in range(pack_iters):
-        codes, quals, is_aff, a_st, a_lo, a_hi = pack_affine(bd, reuse=True)
+        codes, is_aff, a_st, a_lo, a_hi = pack_affine_masked(bd, 10,
+                                                             reuse=True)
     t_pack = (time.perf_counter() - t_pack0) / pack_iters
 
     stk = np.where(is_aff, a_st, 0).astype(np.int32)
     lok = np.where(is_aff, a_lo, 0).astype(np.int32)
     hik = np.where(is_aff, a_hi, 0).astype(np.int32)
     cap = _next_pow2(max(codes.size // 32, 8192))
-    jc, jq = jnp.asarray(codes), jnp.asarray(quals)
+    jc = jnp.asarray(codes)
     js, jl, jh = jnp.asarray(stk), jnp.asarray(lok), jnp.asarray(hik)
 
     def step():
-        return assign_compact_affine(jc, jq, js, jl, jh, vpos, ind, ni,
-                                     10, cap)
+        return assign_compact_affine_masked(jc, js, jl, jh, vpos, ind, ni,
+                                            cap)
 
     pk = step()
     jax.block_until_ready(pk)  # compile, NO fetch (keeps tunnel fast mode)
@@ -113,8 +115,7 @@ def bench_device(bd, vt):
                                     device="auto", defer=True)
                 for _ in range(e2e_iters)]
     for q in pendings:
-        for dpk, dcap, rm, dv in q._dev:
-            jax.block_until_ready(dpk)
+        q.wait()
     t_wave = time.perf_counter() - t0
     hits0 = pendings[0].resolve()      # pays the one-time mode-flip penalty
     t0 = time.perf_counter()

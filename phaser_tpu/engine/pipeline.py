@@ -209,9 +209,15 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             log("               completed chromosome %s..." % tables[c].chrom)
         as_scores_per_bam[bam_i] = []
 
-    # resolve wave: all launches are in flight; fetch + merge each chunk's
-    # hits and collect the per-BAM alignment scores
+    # resolve wave: all launches are in flight; force every launched
+    # program to finish BEFORE the first device->host fetch (the fetch
+    # drops the device link into slow dispatch mode), then fetch + merge
+    # each chunk's hits and collect the per-BAM alignment scores
     with tracer.stage("#2 hit resolve", "hits"):
+        for c in contig_order:
+            for _, _, pending in per_contig_bam_hits[c]:
+                if hasattr(pending, "wait"):
+                    pending.wait()
         for c in contig_order:
             entries = per_contig_bam_hits[c]
             for ei, (bam_i, chunk, pending) in enumerate(entries):

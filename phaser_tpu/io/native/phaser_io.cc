@@ -400,6 +400,65 @@ void pack_codes_quals_native(
   for (auto& th : threads) th.join();
 }
 
+// masked single-plane packing fused with affine CIGAR classification:
+// one pass emits ONE byte/base ((qual >= baseq) ? nibble : 15 — the BASEQ
+// mask pre-applied so the device needs no quals plane) plus per-read
+// (is_affine, start, lo, hi) for device-side refpos reconstruction
+void pack_affine_masked_native(
+    int64_t n, const int32_t* pos, const uint32_t* cigar,
+    const int64_t* cigar_off, const uint8_t* seq, const uint8_t* qual,
+    const int64_t* seq_off, int baseq, int64_t L, uint8_t* mcodes,
+    uint8_t* is_affine, int32_t* start, int32_t* lo, int32_t* hi,
+    int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (int64_t i = t; i < n; i += n_threads) {
+        int64_t so = seq_off[i];
+        int64_t slen = seq_off[i + 1] - so;
+        if (slen > L) slen = L;
+        uint8_t* out = mcodes + i * L;
+        const uint8_t* sq = seq + so;
+        const uint8_t* qu = qual + so;
+        const uint8_t bq = (uint8_t)baseq;
+        // branchless select (auto-vectorizes): low-qual -> 15
+        for (int64_t k = 0; k < slen; k++) {
+          uint8_t bad = (uint8_t)-(qu[k] < bq);  // 0x00 or 0xFF
+          out[k] = (uint8_t)(((sq[k] & 0xF) & ~bad) | (15 & bad));
+        }
+        memset(out + slen, 15, L - slen);  // pad = masked (never a hit)
+
+        bool bad = false;
+        int64_t first_m = -1, last_m = -1, n_m = 0;
+        int64_t lead_s = 0, m_total = 0;
+        for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
+          uint32_t opc = cigar[c] & 0xF;
+          int64_t len = cigar[c] >> 4;
+          int64_t w = c - cigar_off[i];
+          bool m_type = (opc == 0 || opc == 7 || opc == 8);
+          if (m_type) {
+            if (first_m < 0) first_m = w;
+            last_m = w;
+            n_m++;
+            m_total += len;
+          } else if (opc == 4) {
+            if (first_m < 0) lead_s += len;
+          } else if (opc != 5) {
+            bad = true;
+          }
+        }
+        bool affine = !bad && n_m >= 1 && (last_m - first_m + 1 == n_m);
+        is_affine[i] = affine ? 1 : 0;
+        start[i] = pos[i] + 1;
+        lo[i] = (int32_t)lead_s;
+        hi[i] = (int32_t)(lead_s + m_total);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 // codes/quals packing fused with affine CIGAR classification: one pass
 // emits the planes plus per-read (is_affine, start, lo, hi) for the
 // device-side refpos reconstruction (mapper.dispatch._affine_params

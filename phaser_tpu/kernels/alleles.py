@@ -215,6 +215,79 @@ def assign_compact_affine(codes: jax.Array, quals: jax.Array,
     return _pack_hits(vidx, allele, masked, capacity)
 
 
+def _classify_masked(masked, refpos, vpos, ind_codes, n_ind):
+    """Hit classification from a pre-masked plane (15 = low-qual/N/pad)."""
+    vidx = jnp.searchsorted(vpos, refpos, side="left").astype(jnp.int32)
+    M = vpos.shape[0]
+    safe = jnp.minimum(vidx, M - 1)
+    hit = (refpos > 0) & (vidx < M) & (vpos[safe] == refpos) & (masked != 15)
+    a0 = ind_codes[safe, 0]
+    a1 = ind_codes[safe, 1]
+    ni = n_ind[safe]
+    allele = jnp.where(
+        (masked == a0) & (ni > 0), 0,
+        jnp.where((masked == a1) & (ni > 1), 1, OTHER)).astype(jnp.int32)
+    allele = jnp.where(hit, allele, NO_HIT)
+    return jnp.where(hit, vidx, -1), allele
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def assign_compact_affine_masked(mcodes: jax.Array, start: jax.Array,
+                                 lo: jax.Array, hi: jax.Array,
+                                 vpos: jax.Array, ind_codes: jax.Array,
+                                 n_ind: jax.Array,
+                                 capacity: int) -> jax.Array:
+    """Affine assign + packing from the 1-byte/base masked plane (BASEQ
+    pre-applied by pack_affine_masked) — half the host->device traffic of
+    the codes+quals form and no mask op on device."""
+    i = jnp.arange(mcodes.shape[1], dtype=jnp.int32)[None, :]
+    aligned = (i >= lo[:, None]) & (i < hi[:, None])
+    refpos = jnp.where(aligned, start[:, None] + (i - lo[:, None]),
+                       jnp.int32(0))
+    vidx, allele = _classify_masked(mcodes, refpos, vpos, ind_codes, n_ind)
+    return _pack_hits(vidx, allele, mcodes, capacity)
+
+
+def pack_affine_masked(bd, baseq: int, max_len: int = 0,
+                       reuse: bool = False):
+    """One-pass native masked-plane packing + affine classification.
+    Returns (mcodes, is_affine, start, lo, hi) or None without the
+    native library."""
+    n = len(bd)
+    lens = np.diff(bd.seq_off)
+    L = int(max(max_len, lens.max() if n else 1))
+    L = ((L + 127) // 128) * 128
+    from ..io import native as native_mod
+    lib = native_mod.get_lib() if n else None
+    if lib is None or not hasattr(lib, "pack_affine_masked_native"):
+        return None
+    if reuse:
+        mcodes = _reuse_buf("mcodes", n, L, np.uint8)
+    else:
+        mcodes = np.empty((n, L), np.uint8)
+    is_aff = np.empty(n, np.uint8)
+    start = np.empty(n, np.int32)
+    lo = np.empty(n, np.int32)
+    hi = np.empty(n, np.int32)
+    import ctypes
+    import os as _os
+    ptr = ctypes.c_void_p
+    pos = np.ascontiguousarray(bd.pos, np.int32)
+    cig = np.ascontiguousarray(bd.cigar_flat, np.uint32)
+    coff = np.ascontiguousarray(bd.cigar_off, np.int64)
+    seq = np.ascontiguousarray(bd.seq_flat, np.uint8)
+    qual = np.ascontiguousarray(bd.qual_flat, np.uint8)
+    soff = np.ascontiguousarray(bd.seq_off, np.int64)
+    lib.pack_affine_masked_native(
+        n, pos.ctypes.data_as(ptr), cig.ctypes.data_as(ptr),
+        coff.ctypes.data_as(ptr), seq.ctypes.data_as(ptr),
+        qual.ctypes.data_as(ptr), soff.ctypes.data_as(ptr), baseq, L,
+        mcodes.ctypes.data_as(ptr), is_aff.ctypes.data_as(ptr),
+        start.ctypes.data_as(ptr), lo.ctypes.data_as(ptr),
+        hi.ctypes.data_as(ptr), min(_os.cpu_count() or 1, 8))
+    return mcodes, is_aff.astype(bool), start, lo, hi
+
+
 def fetch_packed_hits(packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                        np.ndarray, int]:
     """Host fetch of a packed-hit buffer as ONE whole-array transfer.

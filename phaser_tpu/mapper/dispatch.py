@@ -36,6 +36,59 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+_SUB_ROWS = 1 << 18          # max reads per device launch
+_cap_feedback: dict = {}     # bucket key -> max hits observed
+_cap_loaded = False
+
+
+def _cap_path() -> str:
+    import os
+    base = os.environ.get("PHASER_TPU_JIT_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "phaser_tpu", "jit")
+    return os.path.join(base, "hit_caps.json")
+
+
+def _cap_load() -> None:
+    global _cap_loaded
+    if _cap_loaded:
+        return
+    _cap_loaded = True
+    import json
+    try:
+        with open(_cap_path()) as f:
+            for k, v in json.load(f).items():
+                kind, np_, l_ = k.rsplit(":", 2)
+                _cap_feedback[(kind, int(np_), int(l_))] = int(v)
+    except (OSError, ValueError):
+        pass
+
+
+def _cap_save() -> None:
+    import json
+    import os
+    try:
+        os.makedirs(os.path.dirname(_cap_path()), exist_ok=True)
+        with open(_cap_path(), "w") as f:
+            json.dump({"%s:%d:%d" % k: v
+                       for k, v in _cap_feedback.items()}, f)
+    except OSError:
+        pass
+
+
+def _adaptive_cap(fb_key, n_elems: int) -> int:
+    """Packed-hit capacity for a launch bucket: conservative (elements/32)
+    until a resolve reports real hit counts, then 8x the bucket's maximum —
+    small results make the post-launch fetches cheap on slow links, and an
+    overflow just falls back to the exact host path for that chunk.
+    Feedback persists next to the XLA compile cache, so later runs size
+    their buffers (and their compile buckets) right from the start."""
+    _cap_load()
+    seen = _cap_feedback.get(fb_key, 0)
+    if seen:
+        return _next_pow2(max(8 * seen, 8192))
+    return _next_pow2(max(n_elems // 32, 8192))
+
+
 def _read_op_masks(bd: BamData):
     opc = (bd.cigar_flat & 0xF)
     ops_per_read = np.diff(bd.cigar_off)
@@ -100,12 +153,24 @@ class PendingHits:
         self._host = host_parts        # (read_idx, var_idx, codes16)
         self._map = hits_map
 
+    def wait(self) -> None:
+        """Force all launched device programs to COMPLETE (no host fetch).
+        Call on every pending chunk before the first resolve() of the run —
+        execution is lazy, and any work still queued when the first fetch
+        happens runs in the tunnel's slow post-fetch mode."""
+        import jax
+        for part in self._dev:
+            jax.block_until_ready(part[0])
+
     def resolve(self) -> ContigHits:
         from ..kernels.alleles import fetch_packed_hits
 
         rows_parts = list(self._host)
-        for packed, cap, row_map, dev_vidx in self._dev:
+        for packed, cap, row_map, dev_vidx, offset, fb_key in self._dev:
             r, v, a, mc, nh = fetch_packed_hits(packed)
+            if nh > _cap_feedback.get(fb_key, 0):
+                _cap_feedback[fb_key] = nh
+                _cap_save()
             if nh > cap:
                 # capacity overflow: exact host rerun for the chunk (rare)
                 return self._fallback()
@@ -113,6 +178,8 @@ class PendingHits:
             codes_out = mc  # the observed masked nibble IS the allele code
             if row_map is not None:
                 r = row_map[r]
+            elif offset:
+                r = r + offset
             rows_parts.append((r, vfull, codes_out))
 
         if not rows_parts:
@@ -145,8 +212,7 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
         return _ResolvedPending(hits) if defer else hits
     import jax
     import jax.numpy as jnp
-    from ..kernels.alleles import (assign_compact_affine,
-                                   assign_compact_plane, pack_codes_quals,
+    from ..kernels.alleles import (assign_compact_plane, pack_codes_quals,
                                    pack_reads)
 
     if np.any(np.diff(vt.pos) < 0):
@@ -194,45 +260,58 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
         ni[:M] = vt.n_ind[dev_vidx]
         jv, ji, jn = jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni)
 
-        from ..kernels.alleles import pack_affine
-        fused_pack = pack_affine(bd, reuse=reuse)
+        from ..kernels.alleles import (assign_compact_affine_masked,
+                                       pack_affine_masked)
+        fused_pack = pack_affine_masked(bd, baseq, reuse=reuse)
         if fused_pack is not None:
-            codes, quals, is_aff, a_start, a_lo, a_hi = fused_pack
+            mcodes, is_aff, a_start, a_lo, a_hi = fused_pack
         else:
             is_aff, a_start, a_lo, a_hi = _affine_params(bd)
-            codes = quals = None
+            mcodes = None
         aff = dev_read & is_aff
 
         if aff.any():
-            # affine fast path: codes/quals planes only, refpos on device
-            if codes is None:
+            # affine fast path: ONE masked byte/base (BASEQ pre-applied);
+            # refpos reconstructed on device. Launched in <=_SUB_ROWS
+            # sub-batches so compile buckets are fixed-size (compiled once
+            # ever, persisted) and each packed result stays small.
+            if mcodes is None:
                 codes, quals = pack_codes_quals(bd, reuse=reuse)
-            N, L = codes.shape
-            Np = _next_pow2(max(N, 8))
+                mcodes = np.where(quals >= baseq, codes,
+                                  np.uint8(15)).astype(np.uint8)
+            N, L = mcodes.shape
             st_k = np.where(aff, a_start, 0).astype(np.int32)
             lo_k = np.where(aff, a_lo, 0).astype(np.int32)
             hi_k = np.where(aff, a_hi, 0).astype(np.int32)
-            if Np != N:
-                codes_p = np.pad(codes, ((0, Np - N), (0, 0)))
-                quals_p = np.pad(quals, ((0, Np - N), (0, 0)))
-                st_k, lo_k, hi_k = (np.pad(x, (0, Np - N))
-                                    for x in (st_k, lo_k, hi_k))
-            else:
-                codes_p, quals_p = codes, quals
-            cap = _next_pow2(max(int(codes_p.size) // 32, 8192))
-            jc, jq = jnp.asarray(codes_p), jnp.asarray(quals_p)
-            if reuse:
-                # scratch buffers are rewritten by the next chunk's pack;
-                # wait for the copy to complete before returning
-                jax.block_until_ready((jc, jq))
-            packed = assign_compact_affine(
-                jc, jq, jnp.asarray(st_k), jnp.asarray(lo_k),
-                jnp.asarray(hi_k), jv, ji, jn, baseq, cap)
-            dev_parts.append((packed, cap, None, dev_vidx))
+            for s in range(0, N, _SUB_ROWS):
+                e = min(s + _SUB_ROWS, N)
+                if not aff[s:e].any():
+                    continue
+                n_sub = e - s
+                Np = _next_pow2(max(n_sub, 8))
+                cs = mcodes[s:e]
+                ss, ls, hs = st_k[s:e], lo_k[s:e], hi_k[s:e]
+                if Np != n_sub:
+                    cs = np.pad(cs, ((0, Np - n_sub), (0, 0)),
+                                constant_values=15)
+                    ss, ls, hs = (np.pad(x, (0, Np - n_sub))
+                                  for x in (ss, ls, hs))
+                fb_key = ("affine", Np, L)
+                cap = _adaptive_cap(fb_key, Np * L)
+                jc = jnp.asarray(cs)
+                if reuse:
+                    # the scratch plane is rewritten by the next chunk's
+                    # pack; wait for the copy to complete
+                    jax.block_until_ready(jc)
+                packed = assign_compact_affine_masked(
+                    jc, jnp.asarray(ss), jnp.asarray(ls), jnp.asarray(hs),
+                    jv, ji, jn, cap)
+                dev_parts.append((packed, cap, None, dev_vidx, s, fb_key))
 
-        plane_sel = np.flatnonzero(dev_read & ~is_aff)
-        if plane_sel.size:
+        plane_all = np.flatnonzero(dev_read & ~is_aff)
+        for s in range(0, plane_all.size, _SUB_ROWS):
             # refpos-plane path for D/N/split-M reads (small remainder)
+            plane_sel = plane_all[s:s + _SUB_ROWS]
             sub = bd.select(plane_sel)
             codes2, quals2, refpos2 = pack_reads(sub)
             N2, L2 = codes2.shape
@@ -241,11 +320,12 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                 codes2 = np.pad(codes2, ((0, Np2 - N2), (0, 0)))
                 quals2 = np.pad(quals2, ((0, Np2 - N2), (0, 0)))
                 refpos2 = np.pad(refpos2, ((0, Np2 - N2), (0, 0)))
-            cap2 = _next_pow2(max(int(codes2.size) // 32, 8192))
+            fb_key = ("plane", Np2, L2)
+            cap2 = _adaptive_cap(fb_key, Np2 * L2)
             packed2 = assign_compact_plane(
                 jnp.asarray(codes2), jnp.asarray(quals2),
                 jnp.asarray(refpos2), jv, ji, jn, baseq, cap2)
-            dev_parts.append((packed2, cap2, plane_sel, dev_vidx))
+            dev_parts.append((packed2, cap2, plane_sel, dev_vidx, 0, fb_key))
 
     # host remainder 1: insertion reads vs all variants
     hits_map = {}
@@ -290,6 +370,9 @@ class _ResolvedPending:
 
     def __init__(self, hits: ContigHits):
         self._hits = hits
+
+    def wait(self) -> None:
+        pass
 
     def resolve(self) -> ContigHits:
         return self._hits

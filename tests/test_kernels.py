@@ -331,3 +331,62 @@ def test_pack_affine_matches_numpy_classifier(tmp_path):
     np.testing.assert_array_equal(lo[ia], l2[ia])
     np.testing.assert_array_equal(hi[ia], h2[ia])
     assert is_aff.sum() > 0 and (~is_aff).sum() > 0
+
+
+def test_dispatch_sub_batching_matches_host(tmp_path, monkeypatch):
+    """Device dispatch with tiny sub-batch size (forcing many launches,
+    offsets, and adaptive caps) == exact host path."""
+    from phaser_tpu.mapper import dispatch
+    from phaser_tpu.mapper.host import assign_alleles
+    from phaser_tpu.engine.varmap import build_variant_table
+
+    monkeypatch.setattr(dispatch, "_SUB_ROWS", 64)
+    data = datagen.generate(seed=31, contigs=("chr1",), contig_len=200000,
+                            n_variants_per_contig=300,
+                            n_reads_per_contig=500, read_len=80,
+                            frac_spliced=0.25, frac_indel_reads=0.1,
+                            frac_softclip=0.2)
+    p = str(tmp_path / "x.bam")
+    data.write_bam(p)
+    bd = bamio.read_bam(p)
+    recs = []
+    for v in data.variants:
+        recs.append([v.chrom, str(v.pos), v.rsid, v.ref, ",".join(v.alts),
+                     "100", v.filt, "AF=%g" % v.af, "GT", v.gt,
+                     [c for c in v.gt if c not in "|/"]])
+    vt = build_variant_table("chr1", recs)
+    want = assign_alleles(bd, vt, baseq=10, splice=True)
+    # twice: second run uses adaptive (shrunken) caps from feedback
+    for _ in range(2):
+        got = dispatch.assign_alleles_auto(bd, vt, baseq=10, splice=True,
+                                           device="auto")
+        np.testing.assert_array_equal(got.read_idx, want.read_idx)
+        np.testing.assert_array_equal(got.var_idx, want.var_idx)
+        np.testing.assert_array_equal(got.allele_code, want.allele_code)
+        assert got.allele_strs == want.allele_strs
+
+
+def test_pack_affine_masked_matches_two_plane(tmp_path):
+    """Masked single-plane pack == where(q>=baseq, codes, 15) of the
+    two-plane pack; classification fields identical."""
+    from phaser_tpu.kernels.alleles import (pack_affine, pack_affine_masked,
+                                            pack_codes_quals)
+
+    data = datagen.generate(seed=22, contigs=("chr1",), contig_len=80000,
+                            n_variants_per_contig=40, n_reads_per_contig=300,
+                            read_len=70, frac_spliced=0.3,
+                            frac_indel_reads=0.15, frac_softclip=0.25)
+    p = str(tmp_path / "x.bam")
+    data.write_bam(p)
+    bd = bamio.read_bam(p)
+    mcodes, ia, st, lo, hi = pack_affine_masked(bd, 13)
+    codes, quals = pack_codes_quals(bd)
+    want = np.where(quals >= 13, codes, np.uint8(15))
+    # pad columns beyond each read's length: masked plane uses 15, the
+    # two-plane form has codes=0/quals=0 -> masked 15 as well (13 > 0)
+    np.testing.assert_array_equal(mcodes, want)
+    _, _, ia2, st2, lo2, hi2 = pack_affine(bd)
+    np.testing.assert_array_equal(ia, ia2)
+    np.testing.assert_array_equal(st, st2)
+    np.testing.assert_array_equal(lo, lo2)
+    np.testing.assert_array_equal(hi, hi2)
