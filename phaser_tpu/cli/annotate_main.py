@@ -20,8 +20,17 @@ def main(argv=None) -> int:
     if args.o is None:
         print("Error: please specify an output directory.")
         return 1
-    run_annotate(args.geno_vcf, args.sample, args.o, cadd_file=args.cadd_file,
-                 af_vcf=args.af_vcf, af_field=args.af_field)
+    try:
+        run_annotate(args.geno_vcf, args.sample, args.o,
+                     cadd_file=args.cadd_file, af_vcf=args.af_vcf,
+                     af_field=args.af_field)
+    except (ValueError, RuntimeError, FileNotFoundError, OSError) as e:
+        from ..utils.failures import write_failure_record
+        write_failure_record(args.o, "phaser_annotate", e, argv)
+        print("ERROR - %s" % e)
+        return 1
+    from ..utils.failures import clear_failure_record
+    clear_failure_record(args.o)
     return 0
 
 

@@ -24,10 +24,18 @@ def main(argv=None) -> int:
     p.add_argument("--engine", default="numpy", choices=["numpy", "jax"],
                    help="Bootstrap engine (jax = batched device draws).")
     args = p.parse_args(argv)
-    run_cis_var(args.bed, args.vcf, args.pairs, args.map, args.o, pc=args.pc,
-                min_cov=args.min_cov, chrom=args.chr, bs=args.bs,
-                ignore_v=args.ignore_v, bs_seed=args.bs_seed,
-                engine=args.engine)
+    try:
+        run_cis_var(args.bed, args.vcf, args.pairs, args.map, args.o,
+                    pc=args.pc, min_cov=args.min_cov, chrom=args.chr,
+                    bs=args.bs, ignore_v=args.ignore_v, bs_seed=args.bs_seed,
+                    engine=args.engine)
+    except (ValueError, RuntimeError, FileNotFoundError, OSError) as e:
+        from ..utils.failures import write_failure_record
+        write_failure_record(args.o, "phaser_cis_var", e, argv)
+        print("ERROR - %s" % e)
+        return 1
+    from ..utils.failures import clear_failure_record
+    clear_failure_record(args.o)
     return 0
 
 

@@ -14,7 +14,15 @@ def main(argv=None) -> int:
     p.add_argument("--t", type=int, default=1)
     p.add_argument("--o", required=True)
     args = p.parse_args(argv)
-    run_expr_matrix(args.gene_ae_dir, args.features, args.o)
+    try:
+        run_expr_matrix(args.gene_ae_dir, args.features, args.o)
+    except (ValueError, RuntimeError, FileNotFoundError, OSError) as e:
+        from ..utils.failures import write_failure_record
+        write_failure_record(args.o, "phaser_expr_matrix", e, argv)
+        print("ERROR - %s" % e)
+        return 1
+    from ..utils.failures import clear_failure_record
+    clear_failure_record(args.o)
     return 0
 
 

@@ -64,3 +64,17 @@ def test_engine_parity_gw_method1(tmp_path):
         ref_extra={"gw_phase_method": 1},
         opts=PhaserOptions(gw_phase_method=1))
     _assert_all(ref, ours)
+
+
+def test_engine_parity_small_block_cap(tmp_path):
+    """--max_block_size 3 forces weak-point splitting + the left-to-right
+    stitcher on nearly every block (stress for find_weak_points /
+    split_by_weak / sub_block_phase stitching)."""
+    ref, ours = _run_both(
+        tmp_path,
+        dict(seed=7, contigs=("chr20",), contig_len=20000,
+             n_variants_per_contig=120, n_reads_per_contig=2200,
+             error_rate=0.01),
+        ref_extra={"max_block_size": "3"},
+        opts=PhaserOptions(max_block_size=3))
+    _assert_all(ref, ours)

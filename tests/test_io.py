@@ -273,3 +273,30 @@ def test_failure_record_stage_marking(tmp_path):
     rec = json.load(open(path))
     assert rec["stage"] == "#3 connections"
     assert rec["exceptions"] == [{"type": "RuntimeError", "message": "boom"}]
+
+
+def test_failure_record_downstream_clis(tmp_path):
+    """cis_var / expr_matrix / annotate CLIs write failure records on
+    missing inputs."""
+    import json
+    from phaser_tpu.cli.cis_var_main import main as cis_main
+    from phaser_tpu.cli.expr_matrix_main import main as em_main
+    from phaser_tpu.cli.annotate_main import main as an_main
+
+    o1 = str(tmp_path / "cv.txt")
+    rc = cis_main(["--bed", str(tmp_path / "nope.bed"), "--vcf", "x",
+                   "--pairs", "y", "--map", "z", "--o", o1])
+    assert rc == 1
+    assert json.load(open(o1 + ".failure.json"))["tool"] == "phaser_cis_var"
+
+    o2 = str(tmp_path / "mat")
+    rc = em_main(["--gene_ae_dir", str(tmp_path / "nodir"),
+                  "--features", "x", "--o", o2])
+    assert rc == 1
+    assert json.load(open(o2 + ".failure.json"))["tool"] == "phaser_expr_matrix"
+
+    o3 = str(tmp_path / "ann")
+    rc = an_main(["--geno_vcf", str(tmp_path / "nope.vcf.gz"),
+                  "--sample", "S", "--o", o3])
+    assert rc == 1
+    assert json.load(open(o3 + ".failure.json"))["tool"] == "phaser_annotate"
