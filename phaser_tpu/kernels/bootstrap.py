@@ -36,33 +36,77 @@ def batched_bootstrap_median(x: jax.Array, key: jax.Array, bs: int):
     return lower, upper, p
 
 
+@functools.partial(jax.jit, static_argnames=("bs", "chunk"))
+def batched_bootstrap_median_varn(x: jax.Array, n: jax.Array, key: jax.Array,
+                                  bs: int, chunk: int = 256):
+    """Variable-cohort-size batched bootstrap: x (B, Npad) padded cohorts,
+    n (B,) true sizes (>=1). ONE program for every cohort regardless of
+    size — indices are drawn in [0, n_b) per row and the per-draw median of
+    the n_b resampled values comes from a masked sort. Draw chunks scan to
+    bound the (B, chunk, Npad) working set.
+
+    Returns (lower (B,), upper (B,), p_two_sided (B,))."""
+    B, Npad = x.shape
+    steps = -(-bs // chunk)
+    col = jnp.arange(Npad)[None, None, :]
+    lo_i = jnp.broadcast_to(((n - 1) // 2)[:, None, None], (B, chunk, 1))
+    hi_i = jnp.broadcast_to((n // 2)[:, None, None], (B, chunk, 1))
+
+    def step(carry, i):
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.randint(k, (B, chunk, Npad), 0, n[:, None, None])
+        draws = jnp.take_along_axis(
+            jnp.broadcast_to(x[:, None, :], (B, chunk, Npad)), idx, axis=2)
+        valid = col < n[:, None, None]
+        s = jnp.sort(jnp.where(valid, draws, jnp.inf), axis=2)
+        med = 0.5 * (jnp.take_along_axis(s, lo_i, 2)[..., 0] +
+                     jnp.take_along_axis(s, hi_i, 2)[..., 0])
+        return carry, med                      # (B, chunk)
+
+    _, meds = jax.lax.scan(step, 0, jnp.arange(steps))
+    meds = jnp.moveaxis(meds, 0, 1).reshape(B, steps * chunk)[:, :bs]
+    lower = jnp.percentile(meds, 2.5, axis=1)
+    upper = jnp.percentile(meds, 97.5, axis=1)
+    pos = (meds > 0).sum(axis=1)
+    neg = (meds < 0).sum(axis=1)
+    p = jnp.minimum(pos, neg) / bs * 2.0
+    return lower, upper, p
+
+
 def bootstrap_cis_device(cohorts: List[np.ndarray], bs: int,
                          seed: int = 0) -> List[Tuple[float, float, float]]:
-    """Bucket cohorts by size and run batched device bootstraps.
+    """Run ALL cohorts as one variable-size batched device bootstrap
+    (single compile + single launch; pow2-padded batch and cohort dims).
 
     Returns (lower, upper, p) per cohort; empty cohorts give nans.
     """
     out: List[Tuple[float, float, float]] = [None] * len(cohorts)
-    by_n: Dict[int, List[int]] = {}
+    idxs = [i for i, c in enumerate(cohorts) if len(c)]
     for i, c in enumerate(cohorts):
-        n = len(c)
-        if n == 0:
+        if not len(c):
             out[i] = (float("nan"), float("nan"), float("nan"))
-        else:
-            by_n.setdefault(n, []).append(i)
-    for n, idxs in by_n.items():
-        X = np.stack([cohorts[i] for i in idxs]).astype(np.float32)
-        # pad batch dim to a power of two so compilations are shared across
-        # buckets of the same (padded B, n)
-        B = len(idxs)
-        Bp = 1
-        while Bp < B:
-            Bp *= 2
-        if Bp != B:
-            X = np.concatenate([X, np.zeros((Bp - B, n), np.float32)])
-        key = jax.random.key(seed + n)
-        lo, hi, p = batched_bootstrap_median(jnp.asarray(X), key, bs)
-        lo, hi, p = np.asarray(lo), np.asarray(hi), np.asarray(p)
-        for k, i in enumerate(idxs):
-            out[i] = (float(lo[k]), float(hi[k]), float(p[k]))
+    if not idxs:
+        return out
+    ns = np.array([len(cohorts[i]) for i in idxs], np.int32)
+    Npad = _pow2(int(ns.max()))
+    B = len(idxs)
+    Bp = _pow2(B)
+    X = np.zeros((Bp, Npad), np.float32)
+    for k, i in enumerate(idxs):
+        X[k, :ns[k]] = cohorts[i]
+    n_arr = np.ones(Bp, np.int32)
+    n_arr[:B] = ns
+    key = jax.random.key(seed)
+    lo, hi, p = batched_bootstrap_median_varn(
+        jnp.asarray(X), jnp.asarray(n_arr), key, bs)
+    lo, hi, p = np.asarray(lo), np.asarray(hi), np.asarray(p)
+    for k, i in enumerate(idxs):
+        out[i] = (float(lo[k]), float(hi[k]), float(p[k]))
     return out
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
