@@ -137,8 +137,16 @@ def multiprocess_allele_counts(bam: str, vcf: str, sample: str,
     c = next(iter(hs.pool))
     vt = build_variant_table(c, hs.pool[c])
     pos = vt.pos.astype(np.int32)
-    keep = np.concatenate(([True], np.diff(pos) > 0)) if len(pos) else \
-        np.zeros(0, bool)
+    # exclude BOTH sides of duplicate-position entries, matching the engine's
+    # device-table rule (mapper.dispatch: duplicates resolve on the host)
+    if len(pos):
+        dup = np.zeros(len(pos), bool)
+        d = np.diff(pos) == 0
+        dup[1:] |= d
+        dup[:-1] |= d
+        keep = ~dup
+    else:
+        keep = np.zeros(0, bool)
     vpos, ind, ni = pos[keep], vt.ind_codes[keep], vt.n_ind[keep]
 
     # this process decodes + owns one position shard of the reads

@@ -214,20 +214,20 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     # drops the device link into slow dispatch mode), then fetch + merge
     # each chunk's hits and collect the per-BAM alignment scores
     with tracer.stage("#2 hit resolve", "hits"):
-        for c in contig_order:
-            for _, _, pending in per_contig_bam_hits[c]:
-                if hasattr(pending, "wait"):
-                    pending.wait()
-        for c in contig_order:
-            entries = per_contig_bam_hits[c]
-            for ei, (bam_i, chunk, pending) in enumerate(entries):
-                hits = pending.resolve()
-                entries[ei] = (bam_i, chunk, hits)
-                tracer.add("#2 hit resolve", len(hits), "hits")
-                if len(hits):
-                    ha = chunk.has_as[hits.read_idx]
-                    as_scores_per_bam[bam_i].extend(
-                        chunk.as_score[hits.read_idx][ha].tolist())
+        from ..mapper.dispatch import resolve_all
+        flat = [(c, ei) for c in contig_order
+                for ei in range(len(per_contig_bam_hits[c]))]
+        # ONE batched device->host transfer for every launched chunk
+        resolved = resolve_all([per_contig_bam_hits[c][ei][2]
+                                for c, ei in flat])
+        for (c, ei), hits in zip(flat, resolved):
+            bam_i, chunk, _ = per_contig_bam_hits[c][ei]
+            per_contig_bam_hits[c][ei] = (bam_i, chunk, hits)
+            tracer.add("#2 hit resolve", len(hits), "hits")
+            if len(hits):
+                ha = chunk.has_as[hits.read_idx]
+                as_scores_per_bam[bam_i].extend(
+                    chunk.as_score[hits.read_idx][ha].tolist())
 
     # AS cutoffs (:540-553): quantile over all rows of the bam
     as_cutoffs: Dict[int, Optional[float]] = {}

@@ -44,6 +44,52 @@ _AUX_SIZES = {"A": 1, "c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
 _AUX_INT_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}
 
 
+class NameView:
+    """Lazy read-name accessor over one concatenated blob + offsets.
+
+    Materializing n Python bytes objects per decode window costs more than
+    the whole native record parse; this keeps names as a single buffer and
+    slices on demand. Supports int indexing, len, iteration, == with lists
+    (tests), and ragged gather for BamData.select."""
+
+    __slots__ = ("blob", "off")
+
+    def __init__(self, blob: bytes, off: np.ndarray):
+        self.blob = blob
+        self.off = off
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    def __getitem__(self, i) -> bytes:
+        return self.blob[self.off[i]:self.off[i + 1]]
+
+    def __iter__(self):
+        b, o = self.blob, self.off
+        for i in range(len(o) - 1):
+            yield b[o[i]:o[i + 1]]
+
+    def __eq__(self, other):
+        if isinstance(other, NameView):
+            return self.blob == other.blob and np.array_equal(self.off, other.off)
+        if isinstance(other, list):
+            return list(self) == other
+        return NotImplemented
+
+    def gather(self, idx: np.ndarray) -> "NameView":
+        o = self.off
+        lens = o[idx + 1] - o[idx]
+        new_off = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(lens, out=new_off[1:])
+        total = int(new_off[-1])
+        if total == 0:
+            return NameView(b"", new_off)
+        src = np.frombuffer(self.blob, np.uint8)
+        within = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], lens)
+        pos = np.repeat(o[idx], lens) + within
+        return NameView(src[pos].tobytes(), new_off)
+
+
 @dataclass
 class BamData:
     """Struct-of-arrays view of a BAM file (or a filtered subset)."""
@@ -96,7 +142,8 @@ class BamData:
             refid=self.refid[idx], pos=self.pos[idx], mapq=self.mapq[idx],
             flag=self.flag[idx], tlen=self.tlen[idx],
             as_score=self.as_score[idx], has_as=self.has_as[idx],
-            names=[self.names[i] for i in idx],
+            names=(self.names.gather(idx) if isinstance(self.names, NameView)
+                   else [self.names[i] for i in idx]),
             cigar_flat=new_cig, cigar_off=new_co,
             seq_flat=new_seq, qual_flat=new_qual, seq_off=new_so,
         )
@@ -259,8 +306,54 @@ def _bamdata_from_handle(lib, h, ref_names=None, ref_lengths=None,
         seq_off=seq_off)
 
 
+def _parse_records_v2(lib, data: np.ndarray, ref_names, ref_lengths,
+                      header_text, n_threads: int) -> Tuple[BamData, int]:
+    """Two-pass native record parse of a headerless byte window directly
+    into numpy SoA buffers (parallel fill, lazy names). Returns
+    (BamData, bytes_consumed) — a partial trailing record is not consumed."""
+    import ctypes
+    ptr = ctypes.c_void_p
+    base = data.ctypes.data_as(ptr)
+    size = len(data)
+    n_c = ctypes.c_int64(0)
+    tc_c = ctypes.c_int64(0)
+    ts_c = ctypes.c_int64(0)
+    tn_c = ctypes.c_int64(0)
+    consumed = lib.bam_scan_v2(base, size, ctypes.byref(n_c),
+                               ctypes.byref(tc_c), ctypes.byref(ts_c),
+                               ctypes.byref(tn_c))
+    n = n_c.value
+    refid = np.empty(n, np.int32)
+    pos = np.empty(n, np.int32)
+    mapq = np.empty(n, np.uint8)
+    flag = np.empty(n, np.uint16)
+    tlen = np.empty(n, np.int32)
+    as_score = np.empty(n, np.int32)
+    has_as = np.empty(n, np.uint8)
+    cigar_off = np.empty(n + 1, np.int64)
+    seq_off = np.empty(n + 1, np.int64)
+    name_off = np.empty(n + 1, np.int64)
+    cigar = np.empty(tc_c.value, np.uint32)
+    seq = np.empty(ts_c.value, np.uint8)
+    qual = np.empty(ts_c.value, np.uint8)
+    names_blob = np.empty(tn_c.value, np.uint8)
+    lib.bam_parse_v2(
+        base, size, n, *(a.ctypes.data_as(ptr) for a in (
+            refid, pos, mapq, flag, tlen, as_score, has_as, cigar_off,
+            seq_off, name_off, cigar, seq, qual, names_blob)),
+        n_threads)
+    bd = BamData(
+        ref_names=ref_names, ref_lengths=ref_lengths, header_text=header_text,
+        refid=refid, pos=pos, mapq=mapq, flag=flag, tlen=tlen,
+        as_score=as_score, has_as=has_as.astype(bool),
+        names=NameView(names_blob.tobytes(), name_off),
+        cigar_flat=cigar, cigar_off=cigar_off, seq_flat=seq, qual_flat=qual,
+        seq_off=seq_off)
+    return bd, consumed
+
+
 def _read_bam_native(raw: bytes, n_threads: int = 0) -> Optional[BamData]:
-    """C++ fast path: multithreaded BGZF inflate + single-pass record parse."""
+    """C++ fast path: multithreaded BGZF inflate + parallel two-pass parse."""
     from . import native as native_mod
     lib = native_mod.get_lib()
     if lib is None:
@@ -277,10 +370,15 @@ def _read_bam_native(raw: bytes, n_threads: int = 0) -> Optional[BamData]:
                               ubuf.ctypes.data_as(ctypes.c_void_p), n_threads)
     if got != total:
         return None
-    h = lib.bam_parse(ubuf.ctypes.data_as(ctypes.c_void_p), total)
+    consumed = ctypes.c_int64(0)
+    h = lib.bam_header_only(ubuf.ctypes.data_as(ctypes.c_void_p), total,
+                            ctypes.byref(consumed))
     if not h:
         return None
-    return _bamdata_from_handle(lib, h)
+    hd = _bamdata_from_handle(lib, h)
+    bd, _ = _parse_records_v2(lib, ubuf[consumed.value:], hd.ref_names,
+                              hd.ref_lengths, hd.header_text, n_threads)
+    return bd
 
 
 def iter_bam_stream(path: str, window_bytes: int = 256 * 1024 * 1024,
@@ -302,16 +400,17 @@ def iter_bam_stream(path: str, window_bytes: int = 256 * 1024 * 1024,
         n_threads = min(_os.cpu_count() or 1, 8)
 
     with open(path, "rb") as fh:
-        raw = fh.read()  # mmap-able later; block table needs whole scan
+        raw = np.frombuffer(fh.read(), np.uint8)
     offs = bgzf_mod.block_offsets(raw)
     offs.append(len(raw))
 
     ptr = ctypes.c_void_p
-    carry = b""
+    carry = np.zeros(0, np.uint8)
     ref_names = None
     ref_lengths = None
     header_text = None
     bi = 0
+    ubuf = np.zeros(0, np.uint8)   # grown once, reused across windows
     while bi < len(offs) - 1:
         # pick a block-aligned compressed window
         end_bi = bi
@@ -319,17 +418,22 @@ def iter_bam_stream(path: str, window_bytes: int = 256 * 1024 * 1024,
                 offs[end_bi + 1] - offs[bi] <= window_bytes:
             end_bi += 1
         end_bi = max(end_bi, bi + 1)
-        cslice = raw[offs[bi]:offs[end_bi]]
-        total = lib.bgzf_total_size(cslice, len(cslice))
-        ubuf = np.empty(max(total, 1), np.uint8)
-        got = lib.bgzf_decompress(cslice, len(cslice),
-                                  ubuf.ctypes.data_as(ptr), n_threads)
+        cslice = raw[offs[bi]:offs[end_bi]]   # zero-copy view
+        total = lib.bgzf_total_size(cslice.ctypes.data_as(ptr), len(cslice))
+        need = max(total, 1) + len(carry)
+        if len(ubuf) < need:
+            ubuf = np.empty(need, np.uint8)
+        ubuf[:len(carry)] = carry
+        got = lib.bgzf_decompress(cslice.ctypes.data_as(ptr), len(cslice),
+                                  ubuf[len(carry):].ctypes.data_as(ptr),
+                                  n_threads)
         if got != total:
             raise RuntimeError("bgzf window decompress failed")
-        data = carry + ubuf[:total].tobytes()
-        consumed = ctypes.c_int64(0)
+        data = ubuf[:len(carry) + total]
         if ref_names is None:
-            h = lib.bam_header_only(data, len(data), ctypes.byref(consumed))
+            consumed = ctypes.c_int64(0)
+            h = lib.bam_header_only(data.ctypes.data_as(ptr), len(data),
+                                    ctypes.byref(consumed))
             if not h:
                 raise RuntimeError("not a BAM file")
             hd = _bamdata_from_handle(lib, h)
@@ -337,14 +441,14 @@ def iter_bam_stream(path: str, window_bytes: int = 256 * 1024 * 1024,
             ref_lengths = hd.ref_lengths
             header_text = hd.header_text
             data = data[consumed.value:]
-        h = lib.bam_records_parse(data, len(data), ctypes.byref(consumed))
-        chunk = _bamdata_from_handle(lib, h, ref_names, ref_lengths,
-                                     header_text)
-        carry = data[consumed.value:]
+        chunk, used = _parse_records_v2(lib, np.ascontiguousarray(data),
+                                        ref_names, ref_lengths, header_text,
+                                        n_threads)
+        carry = data[used:].copy()
         bi = end_bi
         if len(chunk):
             yield chunk
-    if carry:
+    if len(carry):
         raise RuntimeError("trailing partial BAM record")
 
 

@@ -283,9 +283,39 @@ class BgzfReader:
         return b"".join(chunks)
 
 
+def compress_bytes(data, level: int = 6, eof: bool = True) -> bytes:
+    """BGZF-compress a whole buffer; uses the parallel native compressor
+    (libdeflate) when available, Python zlib otherwise."""
+    from . import native as native_mod
+    import numpy as _np
+    if isinstance(data, str):
+        data = data.encode()
+    lib = native_mod.get_lib()
+    if lib is not None and hasattr(lib, "bgzf_compress"):
+        import ctypes
+        import os as _os
+        arr = _np.frombuffer(data, _np.uint8) if not isinstance(
+            data, _np.ndarray) else data
+        out = _np.empty(int(lib.bgzf_compress_bound(len(arr))), _np.uint8)
+        got = lib.bgzf_compress(
+            arr.ctypes.data_as(ctypes.c_void_p), len(arr), level,
+            out.ctypes.data_as(ctypes.c_void_p),
+            min(_os.cpu_count() or 1, 8))
+        if got >= 0:
+            body = out[:got].tobytes()
+            return body + BGZF_EOF if eof else body
+    parts = []
+    data = bytes(data)
+    for off in range(0, len(data), 0xFF00):
+        parts.append(compress_block(data[off:off + 0xFF00], level))
+    if eof:
+        parts.append(BGZF_EOF)
+    return b"".join(parts)
+
+
 def compress_to_path(data: bytes, path: str, level: int = 6) -> None:
-    with BgzfWriter(path, level=level) as w:
-        w.write(data)
+    with open(path, "wb") as fh:
+        fh.write(compress_bytes(data, level=level))
 
 
 def read_text_auto(path: str) -> bytes:

@@ -16,6 +16,13 @@
 #include <vector>
 #include <zlib.h>
 
+#if defined(__has_include) && !defined(PHASER_NO_LIBDEFLATE)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define PHASER_HAVE_LIBDEFLATE 1
+#endif
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -83,6 +90,10 @@ int64_t bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
   size_t nb = blocks.size();
   for (int t = 0; t < n_threads; t++) {
     threads.emplace_back([&, t]() {
+#ifdef PHASER_HAVE_LIBDEFLATE
+      struct libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+      if (!dec) { errs[t] = 1; return; }
+#endif
       for (size_t i = t; i < nb; i += n_threads) {
         const BgzfBlock& b = blocks[i];
         if (b.isize == 0) continue;
@@ -91,6 +102,15 @@ int64_t bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
         memcpy(&xlen, src + 10, 2);
         const uint8_t* cdata = src + 12 + xlen;
         int64_t clen = b.bsize - 12 - xlen - 8;
+#ifdef PHASER_HAVE_LIBDEFLATE
+        size_t actual = 0;
+        enum libdeflate_result r = libdeflate_deflate_decompress(
+            dec, cdata, (size_t)clen, out + b.uoff, (size_t)b.isize, &actual);
+        if (r != LIBDEFLATE_SUCCESS || actual != (size_t)b.isize) {
+          errs[t] = 2;
+          break;
+        }
+#else
         z_stream zs;
         memset(&zs, 0, sizeof(zs));
         if (inflateInit2(&zs, -15) != Z_OK) { errs[t] = 1; return; }
@@ -101,7 +121,11 @@ int64_t bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
         int r = inflate(&zs, Z_FINISH);
         inflateEnd(&zs);
         if (r != Z_STREAM_END) { errs[t] = 2; return; }
+#endif
       }
+#ifdef PHASER_HAVE_LIBDEFLATE
+      libdeflate_free_decompressor(dec);
+#endif
     });
   }
   for (auto& th : threads) th.join();
@@ -249,6 +273,208 @@ static int64_t parse_bam_records(const uint8_t* data, int64_t start,
     bi->has_as.push_back(has);
     off += block_size;
   }
+  return off;
+}
+
+// ---------------------------------------------------------------------------
+// Parallel BGZF compression: BGZF members are independent, so blocks
+// compress concurrently (libdeflate when available) and concatenate into a
+// standard stream. Used for fast BAM/VCF output and bench fixtures.
+// ---------------------------------------------------------------------------
+
+static const int64_t kBgzfIn = 0xff00;        // uncompressed bytes per block
+static const int64_t kBgzfSlot = 0x10800;     // per-block output slot bound
+
+int64_t bgzf_compress_bound(int64_t size) {
+  int64_t nb = (size + kBgzfIn - 1) / kBgzfIn;
+  if (nb < 1) nb = 1;
+  return nb * kBgzfSlot;
+}
+
+// Compresses [data, data+size) as BGZF members into out (caller sizes via
+// bgzf_compress_bound). No EOF block. Returns compressed bytes or negative.
+int64_t bgzf_compress(const uint8_t* data, int64_t size, int level,
+                      uint8_t* out, int n_threads) {
+  int64_t nb = (size + kBgzfIn - 1) / kBgzfIn;
+  if (size == 0) nb = 0;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<int64_t> block_len((size_t)nb, 0);
+  std::vector<uint8_t> scratch((size_t)(nb * kBgzfSlot));
+  std::vector<int> errs(n_threads, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+#ifdef PHASER_HAVE_LIBDEFLATE
+      struct libdeflate_compressor* comp =
+          libdeflate_alloc_compressor(level < 1 ? 1 : level);
+      if (!comp) { errs[t] = 1; return; }
+#endif
+      for (int64_t i = t; i < nb; i += n_threads) {
+        const uint8_t* src = data + i * kBgzfIn;
+        int64_t in_len = size - i * kBgzfIn;
+        if (in_len > kBgzfIn) in_len = kBgzfIn;
+        uint8_t* slot = scratch.data() + i * kBgzfSlot;
+        // 18-byte gzip header with BC extra field (bsize patched below)
+        static const uint8_t hdr[18] = {
+            0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+            6, 0, 66, 67, 2, 0, 0, 0};
+        memcpy(slot, hdr, 18);
+        size_t clen = 0;
+#ifdef PHASER_HAVE_LIBDEFLATE
+        clen = libdeflate_deflate_compress(comp, src, (size_t)in_len,
+                                           slot + 18,
+                                           (size_t)(kBgzfSlot - 26));
+        if (clen == 0) { errs[t] = 2; break; }
+        uint32_t crc = libdeflate_crc32(0, src, (size_t)in_len);
+#else
+        z_stream zs;
+        memset(&zs, 0, sizeof(zs));
+        if (deflateInit2(&zs, level < 1 ? 1 : level, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) { errs[t] = 1; return; }
+        zs.next_in = const_cast<uint8_t*>(src);
+        zs.avail_in = (uInt)in_len;
+        zs.next_out = slot + 18;
+        zs.avail_out = (uInt)(kBgzfSlot - 26);
+        int r = deflate(&zs, Z_FINISH);
+        clen = zs.total_out;
+        deflateEnd(&zs);
+        if (r != Z_STREAM_END) { errs[t] = 2; break; }
+        uint32_t crc = (uint32_t)crc32(0, src, (uInt)in_len);
+#endif
+        uint16_t bsize = (uint16_t)(clen + 26 - 1);
+        memcpy(slot + 16, &bsize, 2);
+        memcpy(slot + 18 + clen, &crc, 4);
+        uint32_t isz = (uint32_t)in_len;
+        memcpy(slot + 22 + clen, &isz, 4);
+        block_len[(size_t)i] = (int64_t)clen + 26;
+      }
+#ifdef PHASER_HAVE_LIBDEFLATE
+      libdeflate_free_compressor(comp);
+#endif
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int e : errs) if (e) return -1;
+  int64_t off = 0;
+  for (int64_t i = 0; i < nb; i++) {
+    memmove(out + off, scratch.data() + i * kBgzfSlot, block_len[(size_t)i]);
+    off += block_len[(size_t)i];
+  }
+  return off;
+}
+
+// ---------------------------------------------------------------------------
+// v2 record parse: two passes. Pass 1 (bam_scan_v2) jump-scans the record
+// stream reading only the fixed headers, so the caller can allocate exact
+// struct-of-arrays numpy buffers. Pass 2 (bam_parse_v2) re-walks the offsets
+// sequentially (cheap) and then fills all payloads IN PARALLEL directly into
+// the caller's buffers — no intermediate vectors, no second copy. This is
+// what lets decode keep up with a multi-M-reads/s mapper on few cores.
+// ---------------------------------------------------------------------------
+
+// (first base in the low byte address) 256-entry packed-nibble expansion LUT
+static uint16_t kNibLut[256];
+static bool init_nib_lut() {
+  for (int b = 0; b < 256; b++)
+    kNibLut[b] = (uint16_t)((b >> 4) | ((b & 0xF) << 8));
+  return true;
+}
+static bool _nib_lut_ready = init_nib_lut();
+
+// Pass 1: counts records and ragged totals over complete records in
+// [0, size); returns bytes consumed (partial trailing record excluded).
+int64_t bam_scan_v2(const uint8_t* data, int64_t size, int64_t* out_n,
+                    int64_t* tot_cigar, int64_t* tot_seq,
+                    int64_t* tot_names) {
+  int64_t off = 0, n = 0, tc = 0, ts = 0, tn = 0;
+  while (off + 4 <= size) {
+    int32_t bs = rd_i32(data + off);
+    if (bs < 32 || off + 4 + bs > size) break;
+    const uint8_t* rec = data + off + 4;
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    int32_t l_seq = rd_i32(rec + 16);
+    n++;
+    tc += n_cigar;
+    ts += l_seq;
+    tn += l_read_name > 0 ? l_read_name - 1 : 0;
+    off += 4 + bs;
+  }
+  *out_n = n;
+  *tot_cigar = tc;
+  *tot_seq = ts;
+  *tot_names = tn;
+  return off;
+}
+
+// Pass 2: fill caller-allocated SoA buffers (sizes from bam_scan_v2).
+// cigar_off/seq_off/name_off must have n+1 slots. Returns bytes consumed.
+int64_t bam_parse_v2(const uint8_t* data, int64_t size, int64_t n,
+                     int32_t* refid, int32_t* pos, uint8_t* mapq,
+                     uint16_t* flag, int32_t* tlen, int32_t* as_score,
+                     uint8_t* has_as, int64_t* cigar_off, int64_t* seq_off,
+                     int64_t* name_off, uint32_t* cigar, uint8_t* seq,
+                     uint8_t* qual, char* names, int n_threads) {
+  // sequential offset walk (jump-only)
+  std::vector<int64_t> rec_off((size_t)n);
+  int64_t off = 0, tc = 0, ts = 0, tn = 0;
+  cigar_off[0] = seq_off[0] = name_off[0] = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t bs = rd_i32(data + off);
+    const uint8_t* rec = data + off + 4;
+    rec_off[(size_t)i] = off;
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    int32_t l_seq = rd_i32(rec + 16);
+    tc += n_cigar;
+    ts += l_seq;
+    tn += l_read_name > 0 ? l_read_name - 1 : 0;
+    cigar_off[i + 1] = tc;
+    seq_off[i + 1] = ts;
+    name_off[i + 1] = tn;
+    off += 4 + bs;
+  }
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([=, &rec_off]() {
+      int64_t lo = t * chunk;
+      int64_t hi = lo + chunk < n ? lo + chunk : n;
+      for (int64_t i = lo; i < hi; i++) {
+        const uint8_t* rec = data + rec_off[(size_t)i] + 4;
+        int32_t bs = rd_i32(data + rec_off[(size_t)i]);
+        const uint8_t* rec_end = rec + bs;
+        refid[i] = rd_i32(rec);
+        pos[i] = rd_i32(rec + 4);
+        uint8_t l_read_name = rec[8];
+        mapq[i] = rec[9];
+        uint16_t n_cigar;
+        memcpy(&n_cigar, rec + 12, 2);
+        memcpy(&flag[i], rec + 14, 2);
+        int32_t l_seq = rd_i32(rec + 16);
+        tlen[i] = rd_i32(rec + 28);
+        const uint8_t* q = rec + 32;
+        if (l_read_name > 0)
+          memcpy(names + name_off[i], q, l_read_name - 1);
+        q += l_read_name;
+        memcpy(cigar + cigar_off[i], q, 4 * (int64_t)n_cigar);
+        q += 4 * (int64_t)n_cigar;
+        uint8_t* sdst = seq + seq_off[i];
+        int64_t pairs = l_seq >> 1;
+        for (int64_t k = 0; k < pairs; k++)
+          memcpy(sdst + 2 * k, &kNibLut[q[k]], 2);
+        if (l_seq & 1) sdst[l_seq - 1] = q[pairs] >> 4;
+        q += (l_seq + 1) / 2;
+        memcpy(qual + seq_off[i], q, l_seq);
+        q += l_seq;
+        find_first_as(q, rec_end, &as_score[i], &has_as[i]);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
   return off;
 }
 
@@ -629,6 +855,150 @@ int64_t exact_assign(
     }
   }
   return n_rows;
+}
+
+// ---------------------------------------------------------------------------
+// Fused simple-variant mapper: the production replacement for the reference's
+// whole `samtools view | call_read_variant_map.py` pipe on the host side
+// (/root/reference/phaser/phaser.py:1346, read_variant_map.py:3-124). One
+// multithreaded pass: per read, walk the aligned M/=/X runs of the CIGAR,
+// binary-search the position-sorted variant table for overlaps, and emit one
+// (read, variant, BASEQ-masked nibble) row per overlapping single-base
+// variant. Semantics mirror mapper.host's numpy fast path exactly:
+//   - rows with masked code 15 (low qual / N) are dropped (ref :255)
+//   - reads with insertions are skipped entirely and flagged need_exact
+//   - reads coarsely overlapping a non-simple variant are flagged need_exact
+//     (their simple rows are still emitted here; the exact path skips them)
+//   - splice==0 drops reads with N ops outright
+//   - duplicate-position table entries each get a row
+// ---------------------------------------------------------------------------
+
+struct MapPart {
+  std::vector<int32_t> read, vidx;
+  std::vector<uint8_t> code;
+};
+struct MapResult {
+  std::vector<MapPart> parts;
+};
+
+void* map_simple_run(
+    int64_t n, const int32_t* pos, const uint32_t* cigar,
+    const int64_t* cigar_off, const uint8_t* seq, const uint8_t* qual,
+    const int64_t* seq_off, const uint8_t* keep,
+    int64_t n_vars, const int64_t* vpos, const int32_t* ref_len,
+    const uint8_t* is_simple, int32_t max_rl,
+    int baseq, int splice, uint8_t* need_exact, int n_threads) {
+  MapResult* res = new MapResult();
+  if (n_threads < 1) n_threads = 1;
+  res->parts.resize(n_threads);
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  const uint8_t bq = (uint8_t)baseq;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([=]() {
+      MapPart& out = res->parts[t];
+      out.read.reserve(4096);
+      int64_t lo_r = t * chunk;
+      int64_t hi_r = lo_r + chunk < n ? lo_r + chunk : n;
+      // reused per-read aligned-run list: (genome_start, len, read_off)
+      std::vector<int64_t> run_g, run_len, run_ro;
+      for (int64_t r = lo_r; r < hi_r; r++) {
+        need_exact[r] = 0;
+        if (keep && !keep[r]) continue;
+        bool hasI = false, hasN = false;
+        run_g.clear(); run_len.clear(); run_ro.clear();
+        int64_t p1 = (int64_t)pos[r] + 1;
+        int64_t g = p1, read_i = 0;
+        for (int64_t c = cigar_off[r]; c < cigar_off[r + 1]; c++) {
+          uint32_t opc = cigar[c] & 0xF;
+          int64_t len = cigar[c] >> 4;
+          switch (opc) {
+            case 0: case 7: case 8:   // M/=/X
+              run_g.push_back(g); run_len.push_back(len);
+              run_ro.push_back(read_i);
+              g += len; read_i += len;
+              break;
+            case 1: hasI = true; read_i += len; break;  // I
+            case 2: g += len; break;                    // D
+            case 3: hasN = true; g += len; break;       // N
+            case 4: read_i += len; break;               // S
+            default: break;                             // H/P
+          }
+        }
+        if (!splice && hasN) continue;       // read dropped (ref :170)
+        if (hasI) { need_exact[r] = 1; continue; }  // exact path owns it
+        int64_t span = g - p1;
+        // variant window: non-simple coarse test needs vp >= p1 - ref_len
+        const int64_t* it = std::lower_bound(vpos, vpos + n_vars,
+                                             p1 - (int64_t)max_rl - 1);
+        for (int64_t vi = it - vpos;
+             vi < n_vars && vpos[vi] <= p1 + span; vi++) {
+          int64_t vp = vpos[vi];
+          if (is_simple[vi]) {
+            if (vp < p1) continue;
+            for (size_t u = 0; u < run_g.size(); u++) {
+              if (vp >= run_g[u] && vp < run_g[u] + run_len[u]) {
+                int64_t k = seq_off[r] + run_ro[u] + (vp - run_g[u]);
+                uint8_t c = (qual[k] >= bq) ? (uint8_t)(seq[k] & 0xF)
+                                            : (uint8_t)15;
+                if (c != 15) {
+                  out.read.push_back((int32_t)r);
+                  out.vidx.push_back((int32_t)vi);
+                  out.code.push_back(c);
+                }
+                break;
+              }
+            }
+          } else {
+            // host coarse test: starts <= vp+rl && ends+1 >= vp
+            if (p1 <= vp + (int64_t)ref_len[vi] && p1 + span + 1 >= vp)
+              need_exact[r] = 1;
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return res;
+}
+
+int64_t map_simple_n(void* h) {
+  MapResult* res = (MapResult*)h;
+  int64_t total = 0;
+  for (auto& p : res->parts) total += (int64_t)p.read.size();
+  return total;
+}
+
+// Concatenates thread parts in order (== read order) and frees the handle.
+void map_simple_fetch(void* h, int32_t* out_read, int32_t* out_vidx,
+                      uint8_t* out_code) {
+  MapResult* res = (MapResult*)h;
+  int64_t off = 0;
+  for (auto& p : res->parts) {
+    memcpy(out_read + off, p.read.data(), p.read.size() * 4);
+    memcpy(out_vidx + off, p.vidx.data(), p.vidx.size() * 4);
+    memcpy(out_code + off, p.code.data(), p.code.size());
+    off += (int64_t)p.read.size();
+  }
+  delete res;
+}
+
+// Scatter fixed-width rows to arbitrary byte offsets (ragged assembly
+// without giant numpy index temporaries): out[dst_off[i] : +width] = src row i.
+void scatter_rows(int64_t n_rows, const int64_t* dst_off, const uint8_t* src,
+                  int64_t width, uint8_t* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([=]() {
+      int64_t lo = t * chunk;
+      int64_t hi = lo + chunk < n_rows ? lo + chunk : n_rows;
+      for (int64_t i = lo; i < hi; i++)
+        memcpy(out + dst_off[i], src + i * width, width);
+    });
+  }
+  for (auto& th : threads) th.join();
 }
 
 // ---------------------------------------------------------------------------

@@ -288,18 +288,13 @@ def pack_affine_masked(bd, baseq: int, max_len: int = 0,
     return mcodes, is_aff.astype(bool), start, lo, hi
 
 
-def fetch_packed_hits(packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                       np.ndarray, int]:
-    """Host fetch of a packed-hit buffer as ONE whole-array transfer.
+def decode_packed_hits(full: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray, np.ndarray, int]:
+    """Decode an already-fetched packed-hit buffer (see _pack_hits layout).
     Returns (read_idx, var_idx, allele_class, base_code, n_hits); n_hits may
-    exceed the capacity (overflow — caller falls back).
-
-    Deliberately no device-side slicing: through the axon tunnel, raw
-    transfers run at ~200 MB/s while launching ANY program after the first
-    device->host fetch costs seconds (per-op dispatch mode), so moving the
-    whole buffer is far cheaper than executing a slice to shrink it."""
-    cap = int(packed.shape[1]) - 1
-    full = np.asarray(packed).astype(np.int64)
+    exceed the capacity (overflow — caller falls back)."""
+    cap = int(full.shape[1]) - 1
+    full = full.astype(np.int64)
     nh = int(full[0, 0])
     if nh > cap:
         return (np.zeros(0, np.int64),) * 2 + \
@@ -310,6 +305,16 @@ def fetch_packed_hits(packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
     a = (body[1] & 0xF).astype(np.int16)
     mc = ((body[1] >> 4) & 0xF).astype(np.int16)
     return r, v, a, mc, nh
+
+
+def fetch_packed_hits(packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                       np.ndarray, int]:
+    """Host fetch of a packed-hit buffer as ONE whole-array transfer.
+
+    Through the axon tunnel raw transfers pay a per-fetch fixed cost plus
+    low bandwidth, so batch many chunks with mapper.dispatch.resolve_all
+    (one concatenated transfer) where possible."""
+    return decode_packed_hits(np.asarray(packed))
 
 
 def _next_pow2_i(n: int) -> int:

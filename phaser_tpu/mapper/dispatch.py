@@ -20,6 +20,7 @@ Shapes are bucketed to powers of two to bound XLA recompilation.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -64,13 +65,27 @@ def _cap_load() -> None:
 
 
 def _cap_save() -> None:
+    """Atomic write (tmp + os.replace), merged with the on-disk contents so
+    concurrent batch processes don't drop each other's learned caps."""
     import json
     import os
+    import tempfile
     try:
+        merged = dict(_cap_feedback)
+        try:
+            with open(_cap_path()) as f:
+                for k, v in json.load(f).items():
+                    kind, np_, l_ = k.rsplit(":", 2)
+                    kk = (kind, int(np_), int(l_))
+                    merged[kk] = max(int(v), merged.get(kk, 0))
+        except (OSError, ValueError):
+            pass
         os.makedirs(os.path.dirname(_cap_path()), exist_ok=True)
-        with open(_cap_path(), "w") as f:
-            json.dump({"%s:%d:%d" % k: v
-                       for k, v in _cap_feedback.items()}, f)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_cap_path()),
+                                   suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"%s:%d:%d" % k: v for k, v in merged.items()}, f)
+        os.replace(tmp, _cap_path())
     except OSError:
         pass
 
@@ -145,11 +160,12 @@ class PendingHits:
 
     def __init__(self, fallback: Callable[[], ContigHits],
                  dev_parts: List[Tuple[object, int, Optional[np.ndarray],
-                                       np.ndarray]],
+                                       np.ndarray, int, tuple]],
                  host_parts: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
                  hits_map: dict):
         self._fallback = fallback
-        self._dev = dev_parts          # (packed_dev, cap, row_map, dev_vidx)
+        # (packed_dev, cap, row_map, dev_vidx, row_offset, fb_key)
+        self._dev = dev_parts
         self._host = host_parts        # (read_idx, var_idx, codes16)
         self._map = hits_map
 
@@ -162,12 +178,17 @@ class PendingHits:
         for part in self._dev:
             jax.block_until_ready(part[0])
 
-    def resolve(self) -> ContigHits:
-        from ..kernels.alleles import fetch_packed_hits
+    def resolve(self, prefetched: Optional[List[np.ndarray]] = None
+                ) -> ContigHits:
+        from ..kernels.alleles import decode_packed_hits, fetch_packed_hits
 
         rows_parts = list(self._host)
-        for packed, cap, row_map, dev_vidx, offset, fb_key in self._dev:
-            r, v, a, mc, nh = fetch_packed_hits(packed)
+        for k, (packed, cap, row_map, dev_vidx, offset, fb_key) in \
+                enumerate(self._dev):
+            if prefetched is not None:
+                r, v, a, mc, nh = decode_packed_hits(prefetched[k])
+            else:
+                r, v, a, mc, nh = fetch_packed_hits(packed)
             if nh > _cap_feedback.get(fb_key, 0):
                 _cap_feedback[fb_key] = nh
                 _cap_save()
@@ -374,5 +395,53 @@ class _ResolvedPending:
     def wait(self) -> None:
         pass
 
-    def resolve(self) -> ContigHits:
+    def resolve(self, prefetched=None) -> ContigHits:
         return self._hits
+
+
+@functools.lru_cache(maxsize=None)
+def _concat_jit(n: int):
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda *bs: jnp.concatenate(bs, axis=1))
+
+
+def resolve_all(pendings: List) -> List[ContigHits]:
+    """Resolve many launched chunks with ONE batched device->host transfer.
+
+    All pending device buffers are concatenated on device (a single program,
+    launched before any fetch) and fetched in one transfer — on high-latency
+    links (the axon tunnel pays a fixed ~25 ms per fetch plus ~13 MB/s) this
+    collapses N per-chunk fetches into one. Falls back to per-chunk resolve
+    when there is nothing to batch."""
+    import jax
+
+    parts = []
+    for p in pendings:
+        if isinstance(p, PendingHits):
+            parts.extend(p._dev)
+    views: List[np.ndarray] = []
+    if len(parts) > 1:
+        bufs = [pt[0] for pt in parts]
+        for b in bufs:
+            jax.block_until_ready(b)
+        cat = _concat_jit(len(bufs))(*bufs)
+        full = np.asarray(cat)
+        off = 0
+        for b in bufs:
+            w = int(b.shape[1])
+            views.append(full[:, off:off + w])
+            off += w
+    elif len(parts) == 1:
+        views.append(np.asarray(parts[0][0]))
+
+    out: List[ContigHits] = []
+    vi = 0
+    for p in pendings:
+        if isinstance(p, PendingHits):
+            k = len(p._dev)
+            out.append(p.resolve(prefetched=views[vi:vi + k]))
+            vi += k
+        else:
+            out.append(p.resolve())
+    return out

@@ -223,8 +223,55 @@ def _exact_rows_native(bd: BamData, sel: np.ndarray, vt: VariantTable,
     return rows
 
 
+def _map_simple_native(bd: BamData, vt: VariantTable, baseq: int,
+                       splice: bool, keep_read: np.ndarray):
+    """C++ fused mapper (map_simple in phaser_io.cc): per-read CIGAR walk +
+    binary-search variant overlap + masked-nibble gather, multithreaded.
+    Returns (read_idx, var_idx, codes, exact_sel) or None without the lib;
+    exact_sel = sorted read indices that need the exact string path."""
+    from ..io.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "map_simple_run"):
+        return None
+    import ctypes
+    import os as _os
+    ptr = ctypes.c_void_p
+    n = len(bd)
+    pos = np.ascontiguousarray(bd.pos, np.int32)
+    cig = np.ascontiguousarray(bd.cigar_flat, np.uint32)
+    coff = np.ascontiguousarray(bd.cigar_off, np.int64)
+    seq = np.ascontiguousarray(bd.seq_flat, np.uint8)
+    qual = np.ascontiguousarray(bd.qual_flat, np.uint8)
+    soff = np.ascontiguousarray(bd.seq_off, np.int64)
+    keep = np.ascontiguousarray(keep_read, np.uint8)
+    vpos = np.ascontiguousarray(vt.pos, np.int64)
+    rlen = np.ascontiguousarray(vt.ref_len, np.int32)
+    simple = np.ascontiguousarray(vt.is_simple, np.uint8)
+    max_rl = int(rlen.max()) if len(rlen) else 0
+    need_exact = np.empty(n, np.uint8)
+    n_threads = min(_os.cpu_count() or 1, 8)
+    h = lib.map_simple_run(
+        n, pos.ctypes.data_as(ptr), cig.ctypes.data_as(ptr),
+        coff.ctypes.data_as(ptr), seq.ctypes.data_as(ptr),
+        qual.ctypes.data_as(ptr), soff.ctypes.data_as(ptr),
+        keep.ctypes.data_as(ptr), len(vt), vpos.ctypes.data_as(ptr),
+        rlen.ctypes.data_as(ptr), simple.ctypes.data_as(ptr), max_rl,
+        baseq, 1 if splice else 0, need_exact.ctypes.data_as(ptr),
+        n_threads)
+    nr = lib.map_simple_n(h)
+    out_r = np.empty(nr, np.int32)
+    out_v = np.empty(nr, np.int32)
+    out_c = np.empty(nr, np.uint8)
+    lib.map_simple_fetch(h, out_r.ctypes.data_as(ptr),
+                         out_v.ctypes.data_as(ptr),
+                         out_c.ctypes.data_as(ptr))
+    return (out_r.astype(np.int64), out_v.astype(np.int64),
+            out_c.astype(np.int16), np.flatnonzero(need_exact))
+
+
 def assign_alleles(bd: BamData, vt: VariantTable, *, baseq: int,
-                   splice: bool = True, isize_cutoff: float = 0) -> ContigHits:
+                   splice: bool = True, isize_cutoff: float = 0,
+                   native: bool = True) -> ContigHits:
     """Compute all mapper rows for one contig's reads against its table."""
     n_reads = len(bd)
     if n_reads == 0 or len(vt) == 0:
@@ -233,13 +280,22 @@ def assign_alleles(bd: BamData, vt: VariantTable, *, baseq: int,
     if np.any(np.diff(vt.pos) < 0):
         raise ValueError("variant table must be position-sorted")
 
+    # isize filter (reference :51): abs(tlen) <= cutoff, or no cutoff
+    keep_isize = np.ones(n_reads, bool)
+    if isize_cutoff != 0:
+        keep_isize &= np.abs(bd.tlen.astype(np.int64)) <= isize_cutoff
+
+    native_res = (_map_simple_native(bd, vt, baseq, splice, keep_isize)
+                  if native else None)
+    if native_res is not None:
+        f_read, f_vidx, f_code, exact_sel = native_res
+        return _merge_rows(bd, vt, baseq, splice, f_read, f_vidx, f_code,
+                           exact_sel)
+
     refpos1, has_ins, ref_span = expand_refpos(bd)
     codes = _masked_codes(bd, baseq)
 
-    # isize filter (reference :51): abs(tlen) <= cutoff, or no cutoff
-    keep_read = np.ones(n_reads, bool)
-    if isize_cutoff != 0:
-        keep_read &= np.abs(bd.tlen.astype(np.int64)) <= isize_cutoff
+    keep_read = keep_isize
     if not splice:
         # drop reads with N in cigar
         opc_all = (bd.cigar_flat & 0xF)
@@ -302,10 +358,6 @@ def assign_alleles(bd: BamData, vt: VariantTable, *, baseq: int,
 
     # ---------------- exact path: reads with insertions (all their rows),
     # plus all reads overlapping non-simple variants
-    e_rows_read: List[int] = []
-    e_rows_vidx: List[int] = []
-    e_rows_allele: List[str] = []
-
     exact_reads = set(np.flatnonzero(has_ins & keep_read).tolist())
     if len(exact_var_idx):
         # coarse overlap: reads whose ref window touches a non-simple variant
@@ -316,36 +368,60 @@ def assign_alleles(bd: BamData, vt: VariantTable, *, baseq: int,
             rl = int(vt.ref_len[vi])
             cand = np.flatnonzero((starts <= vp + rl) & (ends + 1 >= vp) & keep_read)
             exact_reads.update(cand.tolist())
+    exact_sel = np.asarray(sorted(exact_reads), np.int64)
+    return _merge_rows(bd, vt, baseq, splice, f_read, f_vidx, f_code,
+                       exact_sel, presorted=False)
 
-    if exact_reads:
-        sel = np.asarray(sorted(exact_reads), np.int64)
-        native_rows = _exact_rows_native(bd, sel, vt, baseq, splice)
+
+def _merge_rows(bd: BamData, vt: VariantTable, baseq: int, splice: bool,
+                f_read: np.ndarray, f_vidx: np.ndarray, f_code: np.ndarray,
+                exact_sel: np.ndarray,
+                presorted: bool = True) -> ContigHits:
+    """Run the exact string path over exact_sel reads, merge with the fast
+    rows, and return hits in canonical (read, variant) reference order."""
+    e_rows_read: List[int] = []
+    e_rows_vidx: List[int] = []
+    e_rows_allele: List[str] = []
+
+    if len(exact_sel):
+        # per-read insertion flag for the skip rule (fast path owns simple
+        # rows of non-insertion reads)
+        has_ins_sel: Dict[int, bool] = {}
+        for ri in exact_sel:
+            cig = bd.cigar_flat[bd.cigar_off[ri]:bd.cigar_off[ri + 1]]
+            has_ins_sel[int(ri)] = bool(np.any((cig & 0xF) == OP_I))
+        native_rows = _exact_rows_native(bd, exact_sel, vt, baseq, splice)
         if native_rows is not None:
             for ri, vi, allele in native_rows:
-                if not has_ins[ri] and vt.is_simple[vi]:
+                if not has_ins_sel[ri] and vt.is_simple[vi]:
                     continue  # fast path owns this row
                 e_rows_read.append(ri)
                 e_rows_vidx.append(vi)
                 e_rows_allele.append(allele)
         else:
-            for ri in sel:
+            spos = vt.pos
+            for ri in exact_sel:
                 p1 = int(bd.pos[ri]) + 1
                 so, eo = bd.seq_off[ri], bd.seq_off[ri + 1]
                 seq = "".join(SEQ_NIBBLE_CHARS[c] for c in bd.seq_flat[so:eo])
                 quals = bd.qual_flat[so:eo]
                 cig = bd.cigar_flat[bd.cigar_off[ri]:bd.cigar_off[ri + 1]]
-                span = int(ref_span[ri])
+                opc = (cig & 0xF).astype(np.int64)
+                lens = (cig >> 4).astype(np.int64)
+                span = int(lens[_REF_CONSUME[opc]].sum())
                 vlo = int(np.searchsorted(spos, p1 - 1, side="left"))
                 vhi = int(np.searchsorted(spos, p1 + span + 1, side="right"))
                 for vi, allele in _exact_read_rows(p1, seq, quals, cig, vt,
                                                    vlo, vhi, baseq, splice):
-                    if not has_ins[ri] and vt.is_simple[vi]:
+                    if not has_ins_sel[int(ri)] and vt.is_simple[vi]:
                         continue  # fast path owns this row
                     e_rows_read.append(int(ri))
                     e_rows_vidx.append(vi)
                     e_rows_allele.append(allele)
 
     # ---------------- merge + canonical reference order
+    if not e_rows_read and presorted:
+        return ContigHits(f_read, f_vidx, f_code)
     all_read = np.concatenate([f_read, np.asarray(e_rows_read, np.int64)])
     all_vidx = np.concatenate([f_vidx, np.asarray(e_rows_vidx, np.int64)])
     all_code = np.concatenate([f_code, np.full(len(e_rows_read), -1, np.int16)])

@@ -36,20 +36,25 @@ def iter_prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def _put_stoppable(item) -> bool:
+        """Blocking put that honors the stop event (an abandoned consumer
+        must not pin the producer — and its decoded windows — forever)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce():
         try:
             for item in it:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _put_stoppable(item):
                     return
-            q.put(_SENTINEL)
+            _put_stoppable(_SENTINEL)
         except BaseException as exc:  # propagate to consumer
-            q.put(_Failure(exc))
+            _put_stoppable(_Failure(exc))
 
     t = threading.Thread(target=_produce, daemon=True,
                          name="phaser-tpu-prefetch")
