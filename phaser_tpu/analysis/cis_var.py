@@ -11,6 +11,16 @@ The reference bootstraps with the global unseeded numpy RNG; we use a
 deterministic per-pair seeded Generator (set `bs_seed`).  Point estimates,
 cohort lists, and the rank-sum test are exactly reproducible; CI bounds are
 statistically equivalent.
+
+Unlike the reference's per-pair x per-sample Python loop (string-splitting
+every matrix cell and VCF genotype on every visit, phaser_cis_var.py:131-159),
+the expression matrix is parsed ONCE into dense (genes x samples) count
+arrays, the sample <-> column correspondence is hoisted out of the pair loop,
+and genotype classification runs vectorized per record; only the per-sample
+aFC accumulation (a handful of float ops on the eligible cohort) stays
+scalar, preserving math.log bit-for-bit output parity. The default engine
+batches ALL pairs' bootstrap draws in one device dispatch
+(kernels.bootstrap).
 """
 
 from __future__ import annotations
@@ -51,10 +61,16 @@ def _list_to_str(x, sep=",") -> str:
 def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
                 pc: int = 1, min_cov: int = 8, chrom: str = "",
                 bs: int = 10000, ignore_v: int = 0, bs_seed: int = 0,
-                engine: str = "numpy", log=print) -> None:
-    """engine='jax' batches all bootstrap draws on the device
-    (kernels.bootstrap); point estimates and test statistics are identical,
-    CI bounds use the device RNG."""
+                engine: str = "jax", log=print) -> None:
+    """engine='jax' (default) batches all bootstrap draws on the device
+    (kernels.bootstrap); point estimates and test statistics are identical
+    to engine='numpy', CI bounds use the device RNG. Falls back to numpy
+    when jax is unavailable."""
+    if engine == "jax":
+        try:
+            import jax  # noqa: F401
+        except Exception:
+            engine = "numpy"
     df_map = pd.read_csv(sample_map, sep="\t", index_col=False)
     dict_map = dict(zip(df_map["vcf_sample"], df_map["bed_sample"]))
 
@@ -96,58 +112,93 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
             header_cols = line.lstrip("#").split("\t")
             break
 
+    # ---- hoisted per-run metadata (the reference recomputes all of this
+    # per pair x per sample): samples usable for EVERY record are the
+    # dict_map entries present in both the VCF header and the matrix
+    col_of = {name: i for i, name in enumerate(header_cols)}
+    use_samples = [s for s in dict_map
+                   if s in col_of and dict_map[s] in df_phaser.columns]
+    vcf_cols = [col_of[s] for s in use_samples]
+    # gene -> matrix row position (index is unique in valid matrices; the
+    # reference's .loc would misbehave identically on duplicates)
+    gene_row_of: Dict = {}
+    for i, g in enumerate(df_phaser.index):
+        if g not in gene_row_of:
+            gene_row_of[g] = i
+    gene_names = df_phaser["name"].tolist()
+    # parse every used "aCount|bCount" cell exactly once
+    n_genes = len(df_phaser.index)
+    cnt_a = np.empty((n_genes, len(use_samples)), float)
+    cnt_b = np.empty_like(cnt_a)
+    for j, s in enumerate(use_samples):
+        cells = np.asarray(df_phaser[dict_map[s]].astype(str).tolist(),
+                           dtype="U")
+        part = np.char.partition(cells, "|")
+        cnt_a[:, j] = part[:, 0].astype(float)
+        # field 1 of the |-split (a third field, if ever present, is
+        # ignored exactly as the reference's counts[1] ignores it)
+        cnt_b[:, j] = np.char.partition(part[:, 2], "|")[:, 0].astype(float)
+    cov_ok_all = (cnt_a + cnt_b) >= min_cov
+
     results = []
     pending = []  # jax engine: bootstrap all pairs in one batched dispatch
     for xindex in df_pairs.index:
         row_test = df_pairs.loc[xindex]
-        if row_test["gene_id"] not in df_phaser.index:
+        grow = gene_row_of.get(row_test["gene_id"])
+        if grow is None:
             continue
-        row_phaser = df_phaser.loc[row_test["gene_id"]]
         var_pos = int(row_test["var_pos"])
         var_chr = str(row_test["var_contig"])
         for rec_line in tf.fetch(var_chr, var_pos - 1, var_pos):
-            rec = dict(zip(header_cols, rec_line.split("\t")))
-            if int(rec["POS"]) != var_pos:
+            fields = rec_line.split("\t")
+            if int(fields[1]) != var_pos:
                 continue
             match = ((str(row_test.get("var_ref", "")) != "" and
                       str(row_test.get("var_alt", "")) != "" and
-                      rec["REF"] == row_test["var_ref"] and
-                      rec["ALT"] == row_test["var_alt"]) or
-                     rec["ID"] == row_test["var_id"])
+                      fields[3] == row_test["var_ref"] and
+                      fields[4] == row_test["var_alt"]) or
+                     fields[2] == row_test["var_id"])
             if not match:
                 continue
-            gt_index = rec["FORMAT"].split(":").index("GT")
+            gt_index = fields[8].split(":").index("GT")
+            gts = [fields[ci].split(":")[gt_index]
+                   if ci < len(fields) else "" for ci in vcf_cols]
+            g_arr = np.asarray(gts)
+            phased = np.char.find(g_arr, "|") >= 0
+            has0 = np.char.find(g_arr, "0") >= 0
+            has1 = np.char.find(g_arr, "1") >= 0
+            is_het = has0 & has1
+            is_hom = (np.char.count(g_arr, "0") == 2) | \
+                     (np.char.count(g_arr, "1") == 2)
+            elig = phased & cov_ok_all[grow] & (is_het | is_hom)
+            ca, cb = cnt_a[grow], cnt_b[grow]
+
             afcs = [[], []]
             phaser_counts = [[[], []], [[], []]]
             ids = [[], []]
-            for xsamp in dict_map:
-                if xsamp not in rec or dict_map[xsamp] not in df_phaser.columns:
-                    continue
-                xgt = rec[xsamp].split(":")[gt_index]
-                if "|" not in xgt:
-                    continue
-                counts = list(map(float, str(row_phaser[dict_map[xsamp]]).split("|")))
-                if sum(counts) < min_cov:
-                    continue
-                afc = math.log((counts[0] + pc) / (counts[1] + pc), 2)
-                if "0" in xgt and "1" in xgt:
+            for j in np.flatnonzero(elig):
+                xgt = gts[j]
+                c0, c1 = ca[j], cb[j]
+                afc = math.log((c0 + pc) / (c1 + pc), 2)
+                if is_het[j]:
                     alt_index = xgt.split("|").index("1")
                     if alt_index == 1:
                         afc *= -1
                     afcs[0].append(afc)
-                    ids[0].append(xsamp)
-                    phaser_counts[0][0].append(int(counts[int(not alt_index)]))
-                    phaser_counts[0][1].append(int(counts[alt_index]))
-                elif xgt.count("0") == 2 or xgt.count("1") == 2:
+                    ids[0].append(use_samples[j])
+                    phaser_counts[0][0].append(
+                        int((c0, c1)[int(not alt_index)]))
+                    phaser_counts[0][1].append(int((c0, c1)[alt_index]))
+                else:
                     afcs[1].append(afc)
-                    ids[1].append(xsamp)
-                    phaser_counts[1][0].append(int(counts[0]))
-                    phaser_counts[1][1].append(int(counts[1]))
+                    ids[1].append(use_samples[j])
+                    phaser_counts[1][0].append(int(c0))
+                    phaser_counts[1][1].append(int(c1))
 
             abs_afcs = [list(map(abs, afcs[0])), list(map(abs, afcs[1]))]
             if engine == "jax":
                 pending.append(dict(
-                    xindex=xindex, name=row_phaser["name"],
+                    xindex=xindex, name=gene_names[grow],
                     var_id=row_test["var_id"], var_chr=var_chr,
                     var_pos=var_pos, afcs=afcs, abs_afcs=abs_afcs,
                     phaser_counts=phaser_counts, ids=ids))
@@ -159,7 +210,7 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
             hom_abs_ci = _bootstrap_ci(abs_afcs[1], bs, rng)
             stat, pval = ranksums(abs_afcs[0], abs_afcs[1])
             results.append(
-                [xindex, row_phaser["name"], row_test["var_id"], var_chr,
+                [xindex, gene_names[grow], row_test["var_id"], var_chr,
                  var_pos, len(afcs[0]), len(afcs[1]), pval] + het_ci +
                 het_abs_ci + hom_ci + hom_abs_ci +
                 [_list_to_str(afcs[0]), _list_to_str(afcs[1]),

@@ -5,11 +5,20 @@ feature interval stabbing (numpy sorted-starts + cummax-ends index instead of
 an interval tree), block-phase mapping onto gene haplotypes, unique-read
 deduplication via read-index sets, best-covered-unphased fallback, and the
 log2 aFC with inf/-inf guards.
+
+The reference's hot loop is a pandas `iterrows` over every haplotype row x an
+interval-tree stab per row (phaser_gene_ae.py:102-110 — SURVEY hot loop #4).
+Here the row columns are materialized once as flat lists, every row's feature
+query runs as one batched `searchsorted` per contig, and the unique-read
+deduplication is memoized per (row, in-feature variant subset) — a block fully
+contained in all its genes (the overwhelmingly common case) does its set
+union exactly once however many features it hits.
 """
 
 from __future__ import annotations
 
 import math
+from collections import defaultdict
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -102,24 +111,77 @@ def run_gene_ae(haplotypic_counts: str, features: str, o: str,
         maf_filtered = 0
         has_maf_col = "max_haplo_maf" in df.columns
 
-        for _, row in df.iterrows():
-            chrom = str(row["contig"])
-            if not (row["totalCount"] > 0 and chrom in index):
+        # flat column lists once (iterrows builds a Series per row)
+        n_rows = len(df.index)
+        contigs = [str(x) for x in df["contig"].tolist()]
+        r_start = df["start"].tolist()
+        r_stop = df["stop"].tolist()
+        r_total = df["totalCount"].tolist()
+        r_gwph = df["blockGWPhase"].tolist()
+        r_gwstat = df["gwStat"].tolist()
+        r_vars = [str(x) for x in df["variants"].tolist()]
+        r_acount = df["aCount"].tolist()
+        r_bcount = df["bCount"].tolist()
+        r_areads = ([str(x) for x in df["aReads"].tolist()]
+                    if "aReads" in df.columns else None)
+        r_breads = ([str(x) for x in df["bReads"].tolist()]
+                    if "bReads" in df.columns else None)
+        r_maf = df["max_haplo_maf"].tolist() if has_maf_col else None
+
+        # one batched interval stab per contig instead of a per-row query
+        row_hits: List[Optional[np.ndarray]] = [None] * n_rows
+        rows_by_contig: Dict[str, List[int]] = defaultdict(list)
+        for ri in range(n_rows):
+            if r_total[ri] > 0 and contigs[ri] in index:
+                rows_by_contig[contigs[ri]].append(ri)
+        for chrom, rids in rows_by_contig.items():
+            ix = index[chrom]
+            qbeg = np.asarray([r_start[ri] for ri in rids], np.int64) - 1
+            qend = np.asarray([r_stop[ri] for ri in rids], np.int64)
+            his = np.searchsorted(ix.starts, qend, side="left")
+            los = np.searchsorted(ix.cummax_end, qbeg, side="right")
+            for k, ri in enumerate(rids):
+                lo, hi = int(los[k]), int(his[k])
+                if lo >= hi:
+                    continue
+                mask = ix.ends[lo:hi] > qbeg[k]
+                if mask.any():
+                    row_hits[ri] = ix.ids[lo:hi][mask]
+
+        for ri in range(n_rows):
+            hits = row_hits[ri]
+            if hits is None:
                 continue
-            hits = index[chrom].query(int(row["start"]) - 1, int(row["stop"]))
-            if len(hits) == 0:
-                continue
-            xvars = str(row["variants"]).split(",")
+            xvars = r_vars[ri].split(",")
             if id_separator not in xvars[0] or xvars[0].count(id_separator) < 3:
                 raise ValueError("ID separator not found in variant ID")
+            # 0-based variant positions + first-occurrence index per id
+            # (reference uses xvars.index(xvar): first occurrence wins)
+            xpos = np.asarray(
+                [int(x.split(id_separator)[1]) - 1 for x in xvars], np.int64)
+            first_idx: Dict[str, int] = {}
+            for i, x in enumerate(xvars):
+                if x not in first_idx:
+                    first_idx[x] = i
+            mapped_cache: Dict[bytes, dict] = {}
+            gwph = r_gwph[ri]
+            is_gw_row = gwph != "0/1" and float(r_gwstat[ri] >= gw_cutoff)
             for fid in hits:
                 f = feats[int(fid)]
-                mapped = _variant_feature_reads(row, xvars, f, id_separator)
+                selmask = (xpos >= f.start) & (xpos <= f.stop)
+                ck = selmask.tobytes()
+                mapped = mapped_cache.get(ck)
+                if mapped is None:
+                    mapped = _mapped_counts(
+                        xvars, selmask, first_idx, int(r_acount[ri]),
+                        int(r_bcount[ri]),
+                        r_areads[ri] if r_areads is not None else "",
+                        r_breads[ri] if r_breads is not None else "")
+                    mapped_cache[ck] = mapped
                 st = state[int(fid)]
-                if row["blockGWPhase"] != "0/1" and \
-                        float(row["gwStat"] >= gw_cutoff):
+                if is_gw_row:
                     if min_haplo_maf > 0 and has_maf_col and \
-                            row["max_haplo_maf"] < min_haplo_maf:
+                            r_maf[ri] < min_haplo_maf:
                         if mapped["totalCount"] > (st["unphased_aCount"] +
                                                    st["unphased_bCount"]):
                             st["unphased_aCount"] = mapped["aCount"]
@@ -127,10 +189,10 @@ def run_gene_ae(haplotypic_counts: str, features: str, o: str,
                             st["unphased_variants"] = mapped["variants"]
                         maf_filtered += 1
                         continue
-                    if row["blockGWPhase"] == "0|1":
+                    if gwph == "0|1":
                         st["aCount"] += mapped["aCount"]
                         st["bCount"] += mapped["bCount"]
-                    elif row["blockGWPhase"] == "1|0":
+                    elif gwph == "1|0":
                         st["aCount"] += mapped["bCount"]
                         st["bCount"] += mapped["aCount"]
                     st["variants"] += mapped["variants"]
@@ -172,28 +234,31 @@ def run_gene_ae(haplotypic_counts: str, features: str, o: str,
     out.close()
 
 
-def _variant_feature_reads(row, xvars: List[str], feature: _Feature,
-                           id_separator: str) -> dict:
-    """variant_feature_reads (:172-219): unique-read counting over variants
-    overlapping the feature (inclusive-end quirk preserved)."""
-    hap_a_reads: List[str] = []
-    hap_b_reads: List[str] = []
-    used_vars: List[str] = []
-    for xvar in xvars:
-        xvar_index = xvars.index(xvar)
-        fields = xvar.split(id_separator)
-        xvar_pos = int(fields[1])
-        if (xvar_pos - 1) - feature.start >= 0 and \
-                (xvar_pos - 1) - feature.stop <= 0:
-            used_vars.append(xvar)
-            if len(xvars) == 1:
-                hap_a_reads += [str(x) for x in range(int(row["aCount"]))]
-                hap_b_reads += [str(x) for x in range(int(row["bCount"]))]
-            else:
-                hap_a_reads += str(row["aReads"]).split(";")[xvar_index].split(",")
-                hap_b_reads += str(row["bReads"]).split(";")[xvar_index].split(",")
-    sa = set(hap_a_reads)
-    sb = set(hap_b_reads)
+def _mapped_counts(xvars: List[str], selmask: np.ndarray,
+                   first_idx: Dict[str, int], a_count: int, b_count: int,
+                   a_reads: str, b_reads: str) -> dict:
+    """variant_feature_reads (phaser_gene_ae.py:172-219): unique-read
+    counting over the variants inside the feature (inclusive-end quirk and
+    the xvars.index first-occurrence behavior preserved). Pure function of
+    (row, selected-variant mask) so callers memoize it across features."""
+    sel = np.flatnonzero(selmask)
+    used_vars = [xvars[i] for i in sel]
+    if not used_vars:
+        return {"variants": used_vars, "aCount": 0, "bCount": 0,
+                "totalCount": 0}
+    if len(xvars) == 1:
+        # single-variant block: the reference synthesizes range(aCount)
+        # fake read ids — their set sizes are exactly the counts
+        return {"variants": used_vars, "aCount": a_count, "bCount": b_count,
+                "totalCount": a_count + b_count}
+    a_segs = a_reads.split(";")
+    b_segs = b_reads.split(";")
+    sa: set = set()
+    sb: set = set()
+    for x in used_vars:
+        i = first_idx[x]
+        sa.update(a_segs[i].split(","))
+        sb.update(b_segs[i].split(","))
     sa.discard("")
     sb.discard("")
     return {"variants": used_vars, "aCount": len(sa), "bCount": len(sb),

@@ -21,8 +21,10 @@ def main(argv=None) -> int:
     p.add_argument("--ignore_v", type=int, default=0)
     p.add_argument("--t", type=int, default=1)
     p.add_argument("--bs_seed", type=int, default=0)
-    p.add_argument("--engine", default="numpy", choices=["numpy", "jax"],
-                   help="Bootstrap engine (jax = batched device draws).")
+    p.add_argument("--engine", default="jax", choices=["numpy", "jax"],
+                   help="Bootstrap engine (default jax: one batched device "
+                        "dispatch for all pairs' draws; numpy = serial "
+                        "per-pair reference-style resampling).")
     args = p.parse_args(argv)
     try:
         run_cis_var(args.bed, args.vcf, args.pairs, args.map, args.o,
