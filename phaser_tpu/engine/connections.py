@@ -126,7 +126,18 @@ def _device_pair_counts(vr: VariantReads, uniq_pk: np.ndarray,
                                          pack_read_hits)
     except Exception:
         return None
-    K = 24
+    # bucket K to the true per-read hit maximum (pow2, capped): emit_pairs
+    # materializes (R, K*(K-1)/2) pair planes, so K drives device memory —
+    # typical RNA-seq reads carry 2-4 het hits, not 24
+    if len(vr.h_uid):
+        _, hit_counts = np.unique(vr.h_uid, return_counts=True)
+        maxc = int(hit_counts.max())
+    else:
+        maxc = 2
+    K = 2
+    while K < min(maxc, 24):
+        K *= 2
+    K = min(K, 24)
     var_mat, allele_mat, overflow = pack_read_hits(
         vr.h_uid, vr.h_var, vr.h_allele, K)
     P = len(uniq_pk)

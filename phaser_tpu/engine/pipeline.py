@@ -311,7 +311,7 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     final = []  # (vr, conn, [(v, allele_char)...])
     with tracer.stage("#4/#5 blocks+phasing", "blocks"):
         for vr, conn in contig_states:
-            blocks = find_blocks(conn, vr.vt)
+            blocks = find_blocks(conn, vr.vt, device=device)
             tracer.add("#4/#5 blocks+phasing", len(blocks), "blocks")
             for block in blocks:
                 vconn = {v: conn.adj[v] for v in block if v in conn.adj}

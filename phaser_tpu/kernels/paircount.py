@@ -107,15 +107,15 @@ def pack_read_hits(uid: np.ndarray, var: np.ndarray, allele: np.ndarray,
     counts = np.diff(np.concatenate((starts, [len(u)])))
     ok = counts <= K
     R = int(ok.sum())
+    # scatter all kept hits at once: row = rank of the hit's group among
+    # kept groups, col = offset within the group
+    grp = np.cumsum(np.concatenate(([0], (u[1:] != u[:-1]).astype(np.int64))))
+    within = np.arange(len(u), dtype=np.int64) - starts[grp]
+    kept_rank = np.cumsum(ok) - 1
+    sel = ok[grp]
     var_mat = np.full((R, K), -1, np.int64)
     allele_mat = np.full((R, K), -1, np.int64)
-    r = 0
-    overflow = []
-    for s, c, good in zip(starts, counts, ok):
-        if good:
-            var_mat[r, :c] = v[s:s + c]
-            allele_mat[r, :c] = a[s:s + c]
-            r += 1
-        else:
-            overflow.append(u[s])
+    var_mat[kept_rank[grp[sel]], within[sel]] = v[sel]
+    allele_mat[kept_rank[grp[sel]], within[sel]] = a[sel]
+    overflow = u[starts[~ok]]
     return var_mat, allele_mat, np.asarray(overflow, np.int64)
