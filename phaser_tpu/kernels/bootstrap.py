@@ -1,16 +1,34 @@
 """Device bootstrap kernel for phASER-POP cis-var.
 
-The reference draws 4 x 10,000 resamples per (gene, variant) pair serially
-with numpy (/root/reference/phaser_pop/phaser_cis_var.py:202-219).  Here all
-pairs with the same cohort size run as one batched draw-gather-median on
-device: indices (B, bs, n) via threefry, jnp.median over the gathered values,
-then percentile bounds — thousands of pairs per dispatch.
+The reference draws 4 x 10,000 index resamples per (gene, variant) pair
+serially with numpy and medians each resample
+(/root/reference/phaser_pop/phaser_cis_var.py:202-219). Early phaser_tpu
+versions ported that shape to the device (gather (B, bs, n) draws, masked
+sort per draw) — O(bs * n log n) sorted elements per cohort, minutes of
+compile + tens of seconds of run at GTEx scale on a real chip.
+
+This implementation samples the bootstrap median's ORDER STATISTICS in
+closed form instead, which is distribution-exact and needs no per-draw data
+movement at all:
+
+  * a bootstrap resample draws n iid indices uniform on {0..n-1}, i.e.
+    floor(n * U) with U ~ Uniform(0,1); floor is monotone, so the k-th order
+    statistic of the indices is floor(n * U_(k));
+  * U_(k) ~ Beta(k+1, n-k) — sampled directly;
+  * the median needs the two middle order statistics k1=(n-1)//2, k2=n//2 of
+    the SAME draw: conditional on U_(k1)=x, U_(k2) is the minimum of the
+    remaining n-k1-1 uniforms above x: x + (1-x) * (1 - (1-u)^(1/(n-k1-1)));
+  * each cohort is sorted ONCE; every draw is then two gathers.
+
+Per draw that is O(1) work: (B, bs) beta/uniform samples + two
+take_along_axis gathers — the whole 10,000-draw bootstrap for hundreds of
+cohorts is a single sub-second device program.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,53 +36,36 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("bs",))
-def batched_bootstrap_median(x: jax.Array, key: jax.Array, bs: int):
-    """x: (B, n) cohorts. Returns (lower (B,), upper (B,), p_two_sided (B,)).
+def batched_bootstrap_median(xs_sorted: jax.Array, n: jax.Array,
+                             key: jax.Array, bs: int):
+    """Distribution-exact batched bootstrap medians via order-statistic
+    inversion.
 
-    lower/upper are the 2.5/97.5 percentiles of bootstrap medians; p is the
-    two-sided sign test of the median distribution vs 0.
+    xs_sorted: (B, Npad) cohorts sorted ascending with +inf padding.
+    n: (B,) true cohort sizes (>= 1).
+    Returns (lower (B,), upper (B,), p_two_sided (B,)) where lower/upper are
+    the 2.5/97.5 percentiles of bootstrap medians and p is the two-sided
+    sign test of the median distribution vs 0.
     """
-    B, n = x.shape
-    idx = jax.random.randint(key, (B, bs, n), 0, n)
-    draws = jnp.take_along_axis(x[:, None, :].repeat(bs, 1), idx, axis=2)
-    meds = jnp.median(draws, axis=2)             # (B, bs)
-    lower = jnp.percentile(meds, 2.5, axis=1)
-    upper = jnp.percentile(meds, 97.5, axis=1)
-    pos = (meds > 0).sum(axis=1)
-    neg = (meds < 0).sum(axis=1)
-    p = jnp.minimum(pos, neg) / bs * 2.0
-    return lower, upper, p
-
-
-@functools.partial(jax.jit, static_argnames=("bs", "chunk"))
-def batched_bootstrap_median_varn(x: jax.Array, n: jax.Array, key: jax.Array,
-                                  bs: int, chunk: int = 256):
-    """Variable-cohort-size batched bootstrap: x (B, Npad) padded cohorts,
-    n (B,) true sizes (>=1). ONE program for every cohort regardless of
-    size — indices are drawn in [0, n_b) per row and the per-draw median of
-    the n_b resampled values comes from a masked sort. Draw chunks scan to
-    bound the (B, chunk, Npad) working set.
-
-    Returns (lower (B,), upper (B,), p_two_sided (B,))."""
-    B, Npad = x.shape
-    steps = -(-bs // chunk)
-    col = jnp.arange(Npad)[None, None, :]
-    lo_i = jnp.broadcast_to(((n - 1) // 2)[:, None, None], (B, chunk, 1))
-    hi_i = jnp.broadcast_to((n // 2)[:, None, None], (B, chunk, 1))
-
-    def step(carry, i):
-        k = jax.random.fold_in(key, i)
-        idx = jax.random.randint(k, (B, chunk, Npad), 0, n[:, None, None])
-        draws = jnp.take_along_axis(
-            jnp.broadcast_to(x[:, None, :], (B, chunk, Npad)), idx, axis=2)
-        valid = col < n[:, None, None]
-        s = jnp.sort(jnp.where(valid, draws, jnp.inf), axis=2)
-        med = 0.5 * (jnp.take_along_axis(s, lo_i, 2)[..., 0] +
-                     jnp.take_along_axis(s, hi_i, 2)[..., 0])
-        return carry, med                      # (B, chunk)
-
-    _, meds = jax.lax.scan(step, 0, jnp.arange(steps))
-    meds = jnp.moveaxis(meds, 0, 1).reshape(B, steps * chunk)[:, :bs]
+    B, _ = xs_sorted.shape
+    nf = n.astype(jnp.float32)
+    k1 = (n - 1) // 2
+    k2 = n // 2
+    a = (k1 + 1).astype(jnp.float32)[:, None]
+    b = (n - k1).astype(jnp.float32)[:, None]
+    kx, ku = jax.random.split(key)
+    x = jax.random.beta(kx, jnp.broadcast_to(a, (B, bs)),
+                        jnp.broadcast_to(b, (B, bs)))
+    u = jax.random.uniform(ku, (B, bs))
+    m = jnp.maximum((n - k1 - 1).astype(jnp.float32), 1.0)[:, None]
+    y = x + (1.0 - x) * (1.0 - (1.0 - u) ** (1.0 / m))
+    y = jnp.where((k2 > k1)[:, None], y, x)
+    hi_idx = (n - 1)[:, None]
+    i1 = jnp.clip((x * nf[:, None]).astype(jnp.int32), 0, hi_idx)
+    i2 = jnp.clip((y * nf[:, None]).astype(jnp.int32), 0, hi_idx)
+    v1 = jnp.take_along_axis(xs_sorted, i1, axis=1)
+    v2 = jnp.take_along_axis(xs_sorted, i2, axis=1)
+    meds = 0.5 * (v1 + v2)
     lower = jnp.percentile(meds, 2.5, axis=1)
     upper = jnp.percentile(meds, 97.5, axis=1)
     pos = (meds > 0).sum(axis=1)
@@ -75,8 +76,8 @@ def batched_bootstrap_median_varn(x: jax.Array, n: jax.Array, key: jax.Array,
 
 def bootstrap_cis_device(cohorts: List[np.ndarray], bs: int,
                          seed: int = 0) -> List[Tuple[float, float, float]]:
-    """Run ALL cohorts as one variable-size batched device bootstrap
-    (single compile + single launch; pow2-padded batch and cohort dims).
+    """Run ALL cohorts as one batched device bootstrap (single compile +
+    single launch; pow2-padded batch and cohort dims).
 
     Returns (lower, upper, p) per cohort; empty cohorts give nans.
     """
@@ -91,14 +92,14 @@ def bootstrap_cis_device(cohorts: List[np.ndarray], bs: int,
     Npad = _pow2(int(ns.max()))
     B = len(idxs)
     Bp = _pow2(B)
-    X = np.zeros((Bp, Npad), np.float32)
+    X = np.full((Bp, Npad), np.inf, np.float32)
     for k, i in enumerate(idxs):
-        X[k, :ns[k]] = cohorts[i]
+        X[k, :ns[k]] = np.sort(cohorts[i])
     n_arr = np.ones(Bp, np.int32)
     n_arr[:B] = ns
     key = jax.random.key(seed)
-    lo, hi, p = batched_bootstrap_median_varn(
-        jnp.asarray(X), jnp.asarray(n_arr), key, bs)
+    lo, hi, p = batched_bootstrap_median(jnp.asarray(X), jnp.asarray(n_arr),
+                                         key, bs)
     lo, hi, p = np.asarray(lo), np.asarray(hi), np.asarray(p)
     for k, i in enumerate(idxs):
         out[i] = (float(lo[k]), float(hi[k]), float(p[k]))

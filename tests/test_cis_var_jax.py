@@ -17,7 +17,8 @@ def test_cis_var_jax_engine(tmp_path):
                                                  n_genes=6, n_vars=12)
     a = str(tmp_path / "np.txt")
     b = str(tmp_path / "jx.txt")
-    run_cis_var(bed, vcf, pairs, smap, a, bs=500, log=lambda *x: None)
+    run_cis_var(bed, vcf, pairs, smap, a, bs=500, engine="numpy",
+                log=lambda *x: None)
     run_cis_var(bed, vcf, pairs, smap, b, bs=500, engine="jax",
                 log=lambda *x: None)
     A = pd.read_csv(a, sep="\t")
