@@ -42,7 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gw_af_field", default="AF")
     p.add_argument("--gw_phase_vcf", type=int, default=0)
     p.add_argument("--gw_phase_vcf_min_confidence", type=float, default=0.90)
-    p.add_argument("--threads", type=int, default=1)              # accepted; engine is vectorized
+    p.add_argument("--threads", type=int, default=1,
+                   help="Thread the per-contig host stages (mapper, "
+                        "accumulate, connections); reference semantics "
+                        "phaser.py:2077-2094.")
     p.add_argument("--max_block_size", type=int, default=15)
     p.add_argument("--temp_dir", default="")
     p.add_argument("--max_items_per_thread", type=int, default=100000)
@@ -102,7 +105,7 @@ def main(argv=None) -> int:
             isize=args.isize, blacklist=args.blacklist,
             haplo_count_blacklist=args.haplo_count_blacklist,
             haplo_count_bam_exclude=args.haplo_count_bam_exclude,
-            chrom=args.chr, opts=opts,
+            chrom=args.chr, opts=opts, threads=max(1, args.threads),
             device=("host" if args.device in ("host", "cpu") else "auto"))
     except (ValueError, RuntimeError, FileNotFoundError) as e:
         from ..utils.failures import write_failure_record

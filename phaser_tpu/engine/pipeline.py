@@ -61,7 +61,14 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                blacklist: str = "", haplo_count_blacklist: str = "",
                haplo_count_bam_exclude: str = "", chrom: str = "",
                opts: Optional[PhaserOptions] = None, device: str = "host",
-               pi_block_value: int = 0, log=print) -> PhaserResult:
+               pi_block_value: int = 0, threads: int = 1,
+               dist_reduce=None, log=print) -> PhaserResult:
+    """dist_reduce: optional cross-process reducer (dist.engine_multihost)
+    with `noise(bm, bmm) -> (bm, bmm)` and
+    `as_percentile(scores, q) -> (cutoff | None)` — the multi-host
+    equivalents of the reference's global pool merges: the noise estimate
+    (/root/reference/phaser/phaser.py:610-632) and the AS-score quantile
+    (:540-553) are computed over ALL shards before any shard tests edges."""
     opts = opts or PhaserOptions()
     t0 = time.time()
     res = PhaserResult()
@@ -157,11 +164,23 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     stream_threshold = float(os.environ.get(
         "PHASER_TPU_STREAM_THRESHOLD_MB", "2048")) * 1e6
 
+    # --threads: the reference forks one pool worker per contig
+    # (phaser.py:2077-2094); the in-process equivalent threads the
+    # per-contig host stages — the C++ mapper and numpy release the GIL,
+    # so per-contig work genuinely overlaps. Device launches stay serial
+    # (ordering of deferred launches must be deterministic).
+    pool = None
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=threads,
+                                  thread_name_prefix="phaser-contig")
+
     def _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag):
         """Filter one decoded chunk per contig and LAUNCH allele assignment
         (deferred device work — resolution happens after every chunk of
         every BAM has launched, keeping all device->host fetches after all
         program launches; see mapper.dispatch docstring)."""
+        work = []
         for c in contig_order:
             vt = tables[c]
             if vt.chrom in bd.ref_names:
@@ -173,13 +192,24 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             keep = ((bd.refid == tid) & ((bd.flag & excl_flag) == 0) &
                     ((bd.flag & req_flag) == req_flag) &
                     (bd.mapq >= int(mq)))
-            if not keep.any():
-                continue
-            with tracer.stage("#2 allele assignment", "reads"):
-                chunk = bd.select(keep)
-                pending = assign_alleles_auto(chunk, vt, baseq=baseq,
-                                              splice=True, isize_cutoff=isz,
-                                              device=device, defer=True)
+            if keep.any():
+                work.append((c, vt, keep))
+
+        def _one(item):
+            c, vt, keep = item
+            chunk = bd.select(keep)
+            pending = assign_alleles_auto(chunk, vt, baseq=baseq,
+                                          splice=True, isize_cutoff=isz,
+                                          device=device, defer=True)
+            return c, chunk, pending
+
+        with tracer.stage("#2 allele assignment", "reads"):
+            if pool is not None and device in ("host", "off") and \
+                    len(work) > 1:
+                results = list(pool.map(_one, work))
+            else:
+                results = [_one(w) for w in work]
+        for c, chunk, pending in results:
             tracer.add("#2 allele assignment", len(chunk), "reads")
             per_contig_bam_hits[c].append((bam_i, chunk, pending))
 
@@ -229,13 +259,23 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                 as_scores_per_bam[bam_i].extend(
                     chunk.as_score[hits.read_idx][ha].tolist())
 
-    # AS cutoffs (:540-553): quantile over all rows of the bam
+    # AS cutoffs (:540-553): quantile over all rows of the bam (across all
+    # shards when running multi-host)
     as_cutoffs: Dict[int, Optional[float]] = {}
     for bam_i in range(len(bam_list)):
         cutoff = None
         if opts.as_q_cutoff > 0:
             scores = as_scores_per_bam[bam_i]
-            if len(scores) == 0:
+            if dist_reduce is not None:
+                cutoff = dist_reduce.as_percentile(scores,
+                                                   opts.as_q_cutoff * 100)
+                if cutoff is None:
+                    log("          no alignment score value found in reads, "
+                        "cannot use cutoff")
+                else:
+                    log("          using alignment score cutoff of %d"
+                        % cutoff)
+            elif len(scores) == 0:
                 log("          no alignment score value found in reads, "
                     "cannot use cutoff")
             else:
@@ -259,10 +299,9 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     n = int(kept.sum())
                 seq += n
 
-    contig_states = []
     total_reads = 0
     with tracer.stage("#2 accumulate", "rows"):
-        for c in contig_order:
+        def _accumulate(c):
             vt = tables[c]
             per_bam = []
             offsets = []
@@ -271,8 +310,15 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     per_bam.append((b, chunk, h))
                     offsets.append(entry_offsets[c][ei])
             rows = build_contig_rows(vt, per_bam, as_cutoffs, offsets)
-            total_reads += len(rows)
-            vr = build_variant_reads(rows, excl)
+            return len(rows), build_variant_reads(rows, excl)
+
+        if pool is not None and len(contig_order) > 1:
+            accumulated = list(pool.map(_accumulate, contig_order))
+        else:
+            accumulated = [_accumulate(c) for c in contig_order]
+        contig_states = []
+        for n_rows, vr in accumulated:
+            total_reads += n_rows
             contig_states.append((vr, None))
     tracer.add("#2 accumulate", total_reads, "rows")
     res.total_reads = total_reads
@@ -285,6 +331,10 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         m, mm = noise_terms(vr)
         bm += m
         bmm += mm
+    if dist_reduce is not None:
+        # one global reduction mid-pipeline, exactly like the reference's
+        # parent-side merge before edge testing (phaser.py:610-632)
+        bm, bmm = dist_reduce.noise(bm, bmm)
     if bm == 0:
         raise RuntimeError("No reads could be matched to variants.")
     noise_e = float(bmm) / (float(bm + bmm) * 2)
@@ -292,9 +342,15 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     log("     sequencing noise level estimated at %f" % noise_e)
 
     with tracer.stage("#3 connections", "pairs"):
-        contig_states = [(vr, build_connections(vr, noise_e, opts.cc_threshold,
-                                                device=device))
-                         for vr, _ in contig_states]
+        def _connect(state):
+            vr = state[0]
+            return (vr, build_connections(vr, noise_e, opts.cc_threshold,
+                                          device=device))
+
+        if pool is not None and len(contig_states) > 1:
+            contig_states = list(pool.map(_connect, contig_states))
+        else:
+            contig_states = [_connect(s) for s in contig_states]
     tracer.add("#3 connections",
                sum(c.n_pairs for _, c in contig_states), "pairs")
 
@@ -352,6 +408,8 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                 vcf, sample_column, o, chrom, writer.state, opts,
                 csi_index=csi_index, rsid_lookup=rsid_lookup)
 
+    if pool is not None:
+        pool.shutdown()
     total_time = time.time() - t0
     tracer.finish()
     for line in tracer.summary_lines():

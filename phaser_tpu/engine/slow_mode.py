@@ -52,6 +52,51 @@ def _existing_block_count(prefix: str) -> int:
     return n
 
 
+def _stream_vcf_body(path: str, w: "bgzf.BgzfWriter",
+                     include_header: bool) -> None:
+    """Forward a per-contig bgzipped VCF into `w` block-by-block, dropping
+    its header lines unless include_header. Memory: one block + line carry
+    (header lines always precede the body, so once the body starts whole
+    blocks pass through unscanned)."""
+    import mmap
+    with open(path, "rb") as fh, \
+            mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+        off = 0
+        carry = b""
+        in_header = True
+        while off < len(mm):
+            payload, bsize = bgzf.decompress_block(mm, off)
+            off += bsize
+            if not payload:
+                continue
+            if not in_header:
+                w.write(payload)
+                continue
+            data = carry + payload
+            nl = data.rfind(b"\n")
+            if nl < 0:
+                carry = data
+                continue
+            chunk, carry = data[:nl + 1], data[nl + 1:]
+            pos = 0
+            while in_header and pos < len(chunk):
+                end = chunk.find(b"\n", pos) + 1
+                if chunk[pos:pos + 1] == b"#":
+                    if include_header:
+                        w.write(chunk[pos:end])
+                    pos = end
+                else:
+                    in_header = False
+            if pos < len(chunk):
+                w.write(chunk[pos:])
+        if carry:
+            if carry[:1] == b"#":
+                if include_header:
+                    w.write(carry + b"\n")
+            else:
+                w.write(carry + b"\n")
+
+
 def run_phaser_slow(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     baseq: int, paired_end: str, chrom: str = "",
                     opts: Optional[PhaserOptions] = None,
@@ -95,9 +140,13 @@ def run_phaser_slow(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     total.n_blocks = pi_block_value
 
     log("#8. Merging the results from several contigs/chromosome ...")
+    # All merges STREAM (reference: bcftools concat | sort, phaser.py:359-367
+    # — also constant-memory): peak RSS is one BGZF block + line carry,
+    # independent of contig count.
     optional_present = [
         sfx for sfx in OPTIONAL_TEXT_SUFFIXES
         if any(os.path.isfile(o + c + "." + sfx) for c in produced)]
+    import shutil
     for suffix in TEXT_SUFFIXES + optional_present:
         out_path = o + "." + suffix
         with open(out_path, "w") as out:
@@ -107,30 +156,24 @@ def run_phaser_slow(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                 if not os.path.isfile(p):
                     continue
                 with open(p) as fh:
-                    lines = fh.readlines()
-                if not header_written and lines:
-                    out.write(lines[0])
-                    header_written = True
-                out.writelines(lines[1:])
+                    first = fh.readline()
+                    if first and not header_written:
+                        out.write(first)
+                        header_written = True
+                    shutil.copyfileobj(fh, out)
 
     if opts.write_vcf == 1 and produced:
         # concatenate per-contig VCFs: one header (first), bodies in the
-        # input VCF's contig order (bcftools concat | sort equivalent)
-        body: List[str] = []
-        header: List[str] = []
-        for i, c in enumerate(produced):
-            p = o + c + ".vcf.gz"
-            if not os.path.isfile(p):
-                continue
-            text = bgzf.decompress_all(open(p, "rb").read()).decode()
-            for line in text.splitlines():
-                if line.startswith("#"):
-                    if i == 0:
-                        header.append(line)
-                else:
-                    body.append(line)
+        # input VCF's contig order
         gz = o + ".vcf.gz"
-        bgzf.compress_to_path(("\n".join(header + body) + "\n").encode(), gz)
+        with bgzf.BgzfWriter(gz) as w:
+            emitted_header = False
+            for c in produced:
+                p = o + c + ".vcf.gz"
+                if not os.path.isfile(p):
+                    continue
+                _stream_vcf_body(p, w, include_header=not emitted_header)
+                emitted_header = True
         tabix.build_vcf_index(gz)
 
     # delete per-contig files

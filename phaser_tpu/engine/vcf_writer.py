@@ -56,7 +56,8 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
         else:
             chrom = vcf_columns[0]
             pos = int(vcf_columns[1])
-            if chromosome_of_interest != "" and chrom != chromosome_of_interest:
+            if chromosome_of_interest != "" and \
+                    chrom not in chromosome_of_interest.split(","):
                 continue
             if "GT" in vcf_columns[8]:
                 gt_index = vcf_columns[8].split(":").index("GT")

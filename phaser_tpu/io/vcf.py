@@ -43,12 +43,15 @@ def sample_column_map(path: str, start_col: int = 9, line_key: str = "#CHR") -> 
 def iter_vcf_lines(path: str, chrom: Optional[str] = None) -> Iterator[str]:
     """Yield text lines of a (possibly bgzipped) VCF.
 
-    With `chrom`, emulates `tabix -h VCF chrom:` (header + that contig only).
+    With `chrom`, emulates `tabix -h VCF chrom:` (header + that contig
+    only). A comma-separated list selects several contigs (multi-contig
+    shards of the multi-host engine).
     """
     data = bgzf.read_text_auto(path).decode()
+    want = set(chrom.split(",")) if chrom is not None else None
     for line in data.splitlines():
-        if chrom is not None and not line.startswith("#"):
-            if line.split("\t", 1)[0] != chrom:
+        if want is not None and not line.startswith("#"):
+            if line.split("\t", 1)[0] not in want:
                 continue
         yield line
 
@@ -122,8 +125,12 @@ class HetSites:
 
 def parse_het_sites(filtered_lines: List[str], chrom_of_interest: str,
                     contig_ban: List[str], pass_only: bool) -> HetSites:
-    """Mirror of process_vcf's line loop (/root/reference/phaser/phaser.py:396-434)."""
+    """Mirror of process_vcf's line loop (/root/reference/phaser/phaser.py:396-434).
+
+    chrom_of_interest may be a comma-separated contig list (multi-contig
+    shards of the multi-host engine)."""
     hs = HetSites()
+    want = set(chrom_of_interest.split(",")) if chrom_of_interest else None
     for line in filtered_lines:
         if line.startswith("#"):
             continue
@@ -134,7 +141,7 @@ def parse_het_sites(filtered_lines: List[str], chrom_of_interest: str,
                 raise ValueError(
                     "Character '%s' must not be present in contig name." % item)
         filt = vcf_columns[6]
-        if chrom_of_interest != "" and chrom_of_interest != chrom:
+        if want is not None and chrom not in want:
             continue
         if chrom not in hs.pool:
             hs.pool[chrom] = []

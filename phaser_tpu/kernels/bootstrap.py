@@ -36,17 +36,9 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("bs",))
-def batched_bootstrap_median(xs_sorted: jax.Array, n: jax.Array,
-                             key: jax.Array, bs: int):
-    """Distribution-exact batched bootstrap medians via order-statistic
-    inversion.
-
-    xs_sorted: (B, Npad) cohorts sorted ascending with +inf padding.
-    n: (B,) true cohort sizes (>= 1).
-    Returns (lower (B,), upper (B,), p_two_sided (B,)) where lower/upper are
-    the 2.5/97.5 percentiles of bootstrap medians and p is the two-sided
-    sign test of the median distribution vs 0.
-    """
+def _bootstrap_medians(xs_sorted: jax.Array, n: jax.Array, key: jax.Array,
+                       bs: int) -> jax.Array:
+    """(B, bs) bootstrap medians via order-statistic inversion."""
     B, _ = xs_sorted.shape
     nf = n.astype(jnp.float32)
     k1 = (n - 1) // 2
@@ -65,13 +57,37 @@ def batched_bootstrap_median(xs_sorted: jax.Array, n: jax.Array,
     i2 = jnp.clip((y * nf[:, None]).astype(jnp.int32), 0, hi_idx)
     v1 = jnp.take_along_axis(xs_sorted, i1, axis=1)
     v2 = jnp.take_along_axis(xs_sorted, i2, axis=1)
-    meds = 0.5 * (v1 + v2)
+    return 0.5 * (v1 + v2)
+
+
+@functools.partial(jax.jit, static_argnames=("bs",))
+def _median_tails(meds: jax.Array, bs: int):
     lower = jnp.percentile(meds, 2.5, axis=1)
     upper = jnp.percentile(meds, 97.5, axis=1)
     pos = (meds > 0).sum(axis=1)
     neg = (meds < 0).sum(axis=1)
     p = jnp.minimum(pos, neg) / bs * 2.0
     return lower, upper, p
+
+
+def batched_bootstrap_median(xs_sorted: jax.Array, n: jax.Array,
+                             key: jax.Array, bs: int):
+    """Distribution-exact batched bootstrap medians via order-statistic
+    inversion.
+
+    xs_sorted: (B, Npad) cohorts sorted ascending with +inf padding.
+    n: (B,) true cohort sizes (>= 1).
+    Returns (lower (B,), upper (B,), p_two_sided (B,)) where lower/upper are
+    the 2.5/97.5 percentiles of bootstrap medians and p is the two-sided
+    sign test of the median distribution vs 0.
+
+    Deliberately TWO device programs (sampler, then percentiles): fusing the
+    gamma rejection-sampler while_loop with the percentile sort sends XLA's
+    optimizer into a multi-minute compile (measured 241 s CPU / 180 s TPU
+    fused vs ~10 s split); the extra dispatch is nanoseconds against that.
+    """
+    meds = _bootstrap_medians(xs_sorted, n, key, bs)
+    return _median_tails(meds, bs)
 
 
 def bootstrap_cis_device(cohorts: List[np.ndarray], bs: int,
@@ -81,6 +97,8 @@ def bootstrap_cis_device(cohorts: List[np.ndarray], bs: int,
 
     Returns (lower, upper, p) per cohort; empty cohorts give nans.
     """
+    from ..utils.jaxtune import enable_compile_cache
+    enable_compile_cache()  # the compile is the cost; persist it across runs
     out: List[Tuple[float, float, float]] = [None] * len(cohorts)
     idxs = [i for i, c in enumerate(cohorts) if len(c)]
     for i, c in enumerate(cohorts):
