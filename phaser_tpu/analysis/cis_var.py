@@ -36,6 +36,63 @@ from scipy.stats import ranksums
 from ..io import bgzf, tabix
 
 
+def _parse_count_cells(cells: np.ndarray):
+    """Parse one sample column of "aCount|bCount[|...]" cells.
+
+    Returns (a, b, total, ok): first two |-fields, the sum of ALL fields
+    (the reference's min_cov test sums every field,
+    phaser_cis_var.py:143-144), and an eligibility mask. Cells that do not
+    parse as |-separated floats with >= 2 fields get ok=False — the
+    reference would crash on such a cell when the pair loop visits it; we
+    mark the sample ineligible for that gene instead (documented
+    divergence, fail-soft).
+
+    Vectorized fast path for the universal well-formed "a|b" case; scalar
+    fallback only when a column contains malformed / ragged cells.
+    """
+    n = len(cells)
+    try:
+        part = np.char.partition(cells, "|")
+        rest = part[:, 2]
+        if (rest == "").any():
+            raise ValueError("cell without '|'")
+        a = part[:, 0].astype(float)
+        total = a.copy()
+        b = None
+        cur = rest
+        while True:
+            p = np.char.partition(cur, "|")
+            tok, cur = p[:, 0], p[:, 2]
+            if (tok == "").any():
+                raise ValueError("empty field")
+            vals = tok.astype(float)
+            if b is None:
+                b = vals
+            total = total + vals
+            if (cur == "").all():
+                break
+            if (cur == "").any():
+                raise ValueError("ragged field counts")
+        return a, b, total, np.ones(n, bool)
+    except ValueError:
+        pass
+    a = np.full(n, np.nan)
+    b = np.full(n, np.nan)
+    total = np.full(n, np.nan)
+    ok = np.zeros(n, bool)
+    for i in range(n):
+        try:
+            fs = [float(x) for x in str(cells[i]).split("|")]
+        except ValueError:
+            continue
+        if len(fs) < 2:
+            continue
+        a[i], b[i] = fs[0], fs[1]
+        total[i] = sum(fs)
+        ok[i] = True
+    return a, b, total, ok
+
+
 def _bootstrap_ci(x: List[float], bs: int, rng: np.random.Generator,
                   return_p: bool = False) -> List[float]:
     if len(x) > 0:
@@ -126,19 +183,22 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
         if g not in gene_row_of:
             gene_row_of[g] = i
     gene_names = df_phaser["name"].tolist()
-    # parse every used "aCount|bCount" cell exactly once
+    # parse every used "aCount|bCount" cell exactly once (matrix lines were
+    # pre-filtered to genes referenced by the pairs table, so no unused row
+    # is parsed); min_cov sums ALL |-fields like the reference's
+    # sum(counts) (phaser_cis_var.py:143-144)
     n_genes = len(df_phaser.index)
-    cnt_a = np.empty((n_genes, len(use_samples)), float)
+    n_use = len(use_samples)
+    cnt_a = np.empty((n_genes, n_use), float)
     cnt_b = np.empty_like(cnt_a)
+    cov_ok_all = np.zeros((n_genes, n_use), bool)
     for j, s in enumerate(use_samples):
         cells = np.asarray(df_phaser[dict_map[s]].astype(str).tolist(),
                            dtype="U")
-        part = np.char.partition(cells, "|")
-        cnt_a[:, j] = part[:, 0].astype(float)
-        # field 1 of the |-split (a third field, if ever present, is
-        # ignored exactly as the reference's counts[1] ignores it)
-        cnt_b[:, j] = np.char.partition(part[:, 2], "|")[:, 0].astype(float)
-    cov_ok_all = (cnt_a + cnt_b) >= min_cov
+        a, b, total, ok = _parse_count_cells(cells)
+        cnt_a[:, j] = a
+        cnt_b[:, j] = b
+        cov_ok_all[:, j] = ok & (total >= min_cov)
 
     results = []
     pending = []  # jax engine: bootstrap all pairs in one batched dispatch
@@ -163,7 +223,10 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
             gt_index = fields[8].split(":").index("GT")
             gts = [fields[ci].split(":")[gt_index]
                    if ci < len(fields) else "" for ci in vcf_cols]
-            g_arr = np.asarray(gts)
+            # dtype pinned: np.asarray([]) without it is float64 and
+            # np.char.* would raise on records with zero usable samples
+            # (the reference simply yields empty cohorts there)
+            g_arr = np.asarray(gts, dtype="U")
             phased = np.char.find(g_arr, "|") >= 0
             has0 = np.char.find(g_arr, "0") >= 0
             has1 = np.char.find(g_arr, "1") >= 0

@@ -175,249 +175,255 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         pool = ThreadPoolExecutor(max_workers=threads,
                                   thread_name_prefix="phaser-contig")
 
-    def _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag):
-        """Filter one decoded chunk per contig and LAUNCH allele assignment
-        (deferred device work — resolution happens after every chunk of
-        every BAM has launched, keeping all device->host fetches after all
-        program launches; see mapper.dispatch docstring)."""
-        work = []
-        for c in contig_order:
-            vt = tables[c]
-            if vt.chrom in bd.ref_names:
-                tid = bd.ref_names.index(vt.chrom)
-            elif c in bd.ref_names:
-                tid = bd.ref_names.index(c)
+    # the pool must not leak worker threads on any failure path
+    try:
+        def _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag):
+            """Filter one decoded chunk per contig and LAUNCH allele assignment
+            (deferred device work — resolution happens after every chunk of
+            every BAM has launched, keeping all device->host fetches after all
+            program launches; see mapper.dispatch docstring)."""
+            work = []
+            for c in contig_order:
+                vt = tables[c]
+                if vt.chrom in bd.ref_names:
+                    tid = bd.ref_names.index(vt.chrom)
+                elif c in bd.ref_names:
+                    tid = bd.ref_names.index(c)
+                else:
+                    continue
+                keep = ((bd.refid == tid) & ((bd.flag & excl_flag) == 0) &
+                        ((bd.flag & req_flag) == req_flag) &
+                        (bd.mapq >= int(mq)))
+                if keep.any():
+                    work.append((c, vt, keep))
+
+            def _one(item):
+                c, vt, keep = item
+                chunk = bd.select(keep)
+                pending = assign_alleles_auto(chunk, vt, baseq=baseq,
+                                              splice=True, isize_cutoff=isz,
+                                              device=device, defer=True)
+                return c, chunk, pending
+
+            with tracer.stage("#2 allele assignment", "reads"):
+                if pool is not None and device in ("host", "off") and \
+                        len(work) > 1:
+                    results = list(pool.map(_one, work))
+                else:
+                    results = [_one(w) for w in work]
+            for c, chunk, pending in results:
+                tracer.add("#2 allele assignment", len(chunk), "reads")
+                per_contig_bam_hits[c].append((bam_i, chunk, pending))
+
+        for bam_i, (xbam, mq, isz, pe) in enumerate(
+                zip(bam_list, mapq_list, isize_list, paired_list)):
+            log("     file: %s" % xbam)
+            log("          minimum mapq: %s" % mq)
+            excl_flag = bamio.FLAG_UNMAPPED
+            if opts.remove_dups == 1:
+                excl_flag |= bamio.FLAG_DUP
+            req_flag = bamio.FLAG_PROPER_PAIR if int(pe) == 1 else 0
+            from ..utils.memtune import bgzf_uncompressed_size
+            usize = bgzf_uncompressed_size(xbam)
+            if usize > stream_threshold:
+                log("          streaming decode (%.1f GB uncompressed)"
+                    % (usize / 1e9))
+                from ..utils.prefetch import iter_prefetch
+                for bd in iter_prefetch(bamio.iter_bam_stream(xbam), depth=2):
+                    tracer.add("#2 bam decode", len(bd), "reads")
+                    _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag)
             else:
-                continue
-            keep = ((bd.refid == tid) & ((bd.flag & excl_flag) == 0) &
-                    ((bd.flag & req_flag) == req_flag) &
-                    (bd.mapq >= int(mq)))
-            if keep.any():
-                work.append((c, vt, keep))
-
-        def _one(item):
-            c, vt, keep = item
-            chunk = bd.select(keep)
-            pending = assign_alleles_auto(chunk, vt, baseq=baseq,
-                                          splice=True, isize_cutoff=isz,
-                                          device=device, defer=True)
-            return c, chunk, pending
-
-        with tracer.stage("#2 allele assignment", "reads"):
-            if pool is not None and device in ("host", "off") and \
-                    len(work) > 1:
-                results = list(pool.map(_one, work))
-            else:
-                results = [_one(w) for w in work]
-        for c, chunk, pending in results:
-            tracer.add("#2 allele assignment", len(chunk), "reads")
-            per_contig_bam_hits[c].append((bam_i, chunk, pending))
-
-    for bam_i, (xbam, mq, isz, pe) in enumerate(
-            zip(bam_list, mapq_list, isize_list, paired_list)):
-        log("     file: %s" % xbam)
-        log("          minimum mapq: %s" % mq)
-        excl_flag = bamio.FLAG_UNMAPPED
-        if opts.remove_dups == 1:
-            excl_flag |= bamio.FLAG_DUP
-        req_flag = bamio.FLAG_PROPER_PAIR if int(pe) == 1 else 0
-        from ..utils.memtune import bgzf_uncompressed_size
-        usize = bgzf_uncompressed_size(xbam)
-        if usize > stream_threshold:
-            log("          streaming decode (%.1f GB uncompressed)"
-                % (usize / 1e9))
-            from ..utils.prefetch import iter_prefetch
-            for bd in iter_prefetch(bamio.iter_bam_stream(xbam), depth=2):
+                with tracer.stage("#2 bam decode", "reads"):
+                    bd = bamio.read_bam(xbam)
                 tracer.add("#2 bam decode", len(bd), "reads")
                 _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag)
-        else:
-            with tracer.stage("#2 bam decode", "reads"):
-                bd = bamio.read_bam(xbam)
-            tracer.add("#2 bam decode", len(bd), "reads")
-            _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag)
-        for c in contig_order:
-            log("               completed chromosome %s..." % tables[c].chrom)
-        as_scores_per_bam[bam_i] = []
+            for c in contig_order:
+                log("               completed chromosome %s..." % tables[c].chrom)
+            as_scores_per_bam[bam_i] = []
 
-    # resolve wave: all launches are in flight; force every launched
-    # program to finish BEFORE the first device->host fetch (the fetch
-    # drops the device link into slow dispatch mode), then fetch + merge
-    # each chunk's hits and collect the per-BAM alignment scores
-    with tracer.stage("#2 hit resolve", "hits"):
-        from ..mapper.dispatch import resolve_all
-        flat = [(c, ei) for c in contig_order
-                for ei in range(len(per_contig_bam_hits[c]))]
-        # ONE batched device->host transfer for every launched chunk
-        resolved = resolve_all([per_contig_bam_hits[c][ei][2]
-                                for c, ei in flat])
-        for (c, ei), hits in zip(flat, resolved):
-            bam_i, chunk, _ = per_contig_bam_hits[c][ei]
-            per_contig_bam_hits[c][ei] = (bam_i, chunk, hits)
-            tracer.add("#2 hit resolve", len(hits), "hits")
-            if len(hits):
-                ha = chunk.has_as[hits.read_idx]
-                as_scores_per_bam[bam_i].extend(
-                    chunk.as_score[hits.read_idx][ha].tolist())
+        # resolve wave: all launches are in flight; force every launched
+        # program to finish BEFORE the first device->host fetch (the fetch
+        # drops the device link into slow dispatch mode), then fetch + merge
+        # each chunk's hits and collect the per-BAM alignment scores
+        with tracer.stage("#2 hit resolve", "hits"):
+            from ..mapper.dispatch import resolve_all
+            flat = [(c, ei) for c in contig_order
+                    for ei in range(len(per_contig_bam_hits[c]))]
+            # ONE batched device->host transfer for every launched chunk
+            resolved = resolve_all([per_contig_bam_hits[c][ei][2]
+                                    for c, ei in flat])
+            for (c, ei), hits in zip(flat, resolved):
+                bam_i, chunk, _ = per_contig_bam_hits[c][ei]
+                per_contig_bam_hits[c][ei] = (bam_i, chunk, hits)
+                tracer.add("#2 hit resolve", len(hits), "hits")
+                if len(hits):
+                    ha = chunk.has_as[hits.read_idx]
+                    as_scores_per_bam[bam_i].extend(
+                        chunk.as_score[hits.read_idx][ha].tolist())
 
-    # AS cutoffs (:540-553): quantile over all rows of the bam (across all
-    # shards when running multi-host)
-    as_cutoffs: Dict[int, Optional[float]] = {}
-    for bam_i in range(len(bam_list)):
-        cutoff = None
-        if opts.as_q_cutoff > 0:
-            scores = as_scores_per_bam[bam_i]
-            if dist_reduce is not None:
-                cutoff = dist_reduce.as_percentile(scores,
-                                                   opts.as_q_cutoff * 100)
-                if cutoff is None:
+        # AS cutoffs (:540-553): quantile over all rows of the bam (across all
+        # shards when running multi-host)
+        as_cutoffs: Dict[int, Optional[float]] = {}
+        for bam_i in range(len(bam_list)):
+            cutoff = None
+            if opts.as_q_cutoff > 0:
+                scores = as_scores_per_bam[bam_i]
+                if dist_reduce is not None:
+                    cutoff = dist_reduce.as_percentile(scores,
+                                                       opts.as_q_cutoff * 100)
+                    if cutoff is None:
+                        log("          no alignment score value found in reads, "
+                            "cannot use cutoff")
+                    else:
+                        log("          using alignment score cutoff of %d"
+                            % cutoff)
+                elif len(scores) == 0:
                     log("          no alignment score value found in reads, "
                         "cannot use cutoff")
                 else:
-                    log("          using alignment score cutoff of %d"
-                        % cutoff)
-            elif len(scores) == 0:
-                log("          no alignment score value found in reads, "
-                    "cannot use cutoff")
+                    cutoff = float(np.percentile(scores, opts.as_q_cutoff * 100))
+                    log("          using alignment score cutoff of %d" % cutoff)
+            as_cutoffs[bam_i] = cutoff
+
+        # global row sequence offsets: bam-major, then contig, then entry/row
+        entry_offsets: Dict[str, list] = {c: [None] * len(per_contig_bam_hits[c])
+                                          for c in contig_order}
+        seq = 0
+        for bam_i in range(len(bam_list)):
+            for c in contig_order:
+                for ei, (b, chunk, hits) in enumerate(per_contig_bam_hits[c]):
+                    if b != bam_i or chunk is None:
+                        continue
+                    entry_offsets[c][ei] = seq
+                    n = len(hits)
+                    if as_cutoffs[bam_i] is not None and n:
+                        kept = chunk.as_score[hits.read_idx] >= as_cutoffs[bam_i]
+                        n = int(kept.sum())
+                    seq += n
+
+        total_reads = 0
+        with tracer.stage("#2 accumulate", "rows"):
+            def _accumulate(c):
+                vt = tables[c]
+                per_bam = []
+                offsets = []
+                for ei, (b, chunk, h) in enumerate(per_contig_bam_hits[c]):
+                    if chunk is not None:
+                        per_bam.append((b, chunk, h))
+                        offsets.append(entry_offsets[c][ei])
+                rows = build_contig_rows(vt, per_bam, as_cutoffs, offsets)
+                return len(rows), build_variant_reads(rows, excl)
+
+            if pool is not None and len(contig_order) > 1:
+                accumulated = list(pool.map(_accumulate, contig_order))
             else:
-                cutoff = float(np.percentile(scores, opts.as_q_cutoff * 100))
-                log("          using alignment score cutoff of %d" % cutoff)
-        as_cutoffs[bam_i] = cutoff
+                accumulated = [_accumulate(c) for c in contig_order]
+            contig_states = []
+            for n_rows, vr in accumulated:
+                total_reads += n_rows
+                contig_states.append((vr, None))
+        tracer.add("#2 accumulate", total_reads, "rows")
+        res.total_reads = total_reads
+        log("          retrieved %d reads" % total_reads)
 
-    # global row sequence offsets: bam-major, then contig, then entry/row
-    entry_offsets: Dict[str, list] = {c: [None] * len(per_contig_bam_hits[c])
-                                      for c in contig_order}
-    seq = 0
-    for bam_i in range(len(bam_list)):
-        for c in contig_order:
-            for ei, (b, chunk, hits) in enumerate(per_contig_bam_hits[c]):
-                if b != bam_i or chunk is None:
-                    continue
-                entry_offsets[c][ei] = seq
-                n = len(hits)
-                if as_cutoffs[bam_i] is not None and n:
-                    kept = chunk.as_score[hits.read_idx] >= as_cutoffs[bam_i]
-                    n = int(kept.sum())
-                seq += n
-
-    total_reads = 0
-    with tracer.stage("#2 accumulate", "rows"):
-        def _accumulate(c):
-            vt = tables[c]
-            per_bam = []
-            offsets = []
-            for ei, (b, chunk, h) in enumerate(per_contig_bam_hits[c]):
-                if chunk is not None:
-                    per_bam.append((b, chunk, h))
-                    offsets.append(entry_offsets[c][ei])
-            rows = build_contig_rows(vt, per_bam, as_cutoffs, offsets)
-            return len(rows), build_variant_reads(rows, excl)
-
-        if pool is not None and len(contig_order) > 1:
-            accumulated = list(pool.map(_accumulate, contig_order))
-        else:
-            accumulated = [_accumulate(c) for c in contig_order]
-        contig_states = []
-        for n_rows, vr in accumulated:
-            total_reads += n_rows
-            contig_states.append((vr, None))
-    tracer.add("#2 accumulate", total_reads, "rows")
-    res.total_reads = total_reads
-    log("          retrieved %d reads" % total_reads)
-
-    # ---- #3 noise + connections
-    log("#3. Identifying connected variants...")
-    bm, bmm = 0, 0
-    for vr, _ in contig_states:
-        m, mm = noise_terms(vr)
-        bm += m
-        bmm += mm
-    if dist_reduce is not None:
-        # one global reduction mid-pipeline, exactly like the reference's
-        # parent-side merge before edge testing (phaser.py:610-632)
-        bm, bmm = dist_reduce.noise(bm, bmm)
-    if bm == 0:
-        raise RuntimeError("No reads could be matched to variants.")
-    noise_e = float(bmm) / (float(bm + bmm) * 2)
-    res.noise_e = noise_e
-    log("     sequencing noise level estimated at %f" % noise_e)
-
-    with tracer.stage("#3 connections", "pairs"):
-        def _connect(state):
-            vr = state[0]
-            return (vr, build_connections(vr, noise_e, opts.cc_threshold,
-                                          device=device))
-
-        if pool is not None and len(contig_states) > 1:
-            contig_states = list(pool.map(_connect, contig_states))
-        else:
-            contig_states = [_connect(s) for s in contig_states]
-    tracer.add("#3 connections",
-               sum(c.n_pairs for _, c in contig_states), "pairs")
-
-    res.dropped_connections = write_variant_connections(o, contig_states)
-    log("     %d variant connections dropped because of conflicting "
-        "configurations (threshold = %f)"
-        % (res.dropped_connections, opts.cc_threshold))
-    res.covered_count = write_allelic_counts(o, contig_states)
-    log("     %d variants covered by at least 1 read" % res.covered_count)
-
-    # ---- #4/#5 blocks + phasing
-    log("#4. Identifying haplotype blocks...")
-    log("#5. Phasing blocks...")
-    final = []  # (vr, conn, [(v, allele_char)...])
-    with tracer.stage("#4/#5 blocks+phasing", "blocks"):
-        for vr, conn in contig_states:
-            blocks = find_blocks(conn, vr.vt, device=device)
-            tracer.add("#4/#5 blocks+phasing", len(blocks), "blocks")
-            for block in blocks:
-                vconn = {v: conn.adj[v] for v in block if v in conn.adj}
-                ac = {}
-                for v in block:
-                    for a in (0, 1):
-                        if (v, a) in conn.allele_conn:
-                            ac[(v, a)] = conn.allele_conn[(v, a)]
-                for phased in phase_v3(block, vconn, ac, opts.max_block_size):
-                    final.append((vr, conn, phased))
-
-    # ---- #6 outputs
-    log("#6. Outputting haplotypes...")
-    tracer_stage_out = tracer.stage("#6 outputs", "blocks")
-    tracer_stage_out.__enter__()
-    writer = BlockOutputWriter(o, opts, bam_list, bam_names, excl,
-                               set_haplo_blacklist)
-    writer.state.block_count = pi_block_value
-    for vr, conn, phased in final:
-        writer.process_block(vr, conn, phased)
-    res.n_blocks = writer.state.block_count
-    res.phased_variants = len(writer.state.all_variant_ids)
-    if opts.unphased_vars == 1:
-        writer.write_singletons(contig_states)
-    writer.close()
-    tracer_stage_out.__exit__(None, None, None)
-
-    # ---- #7 VCF
-    if opts.write_vcf == 1:
-        log("#7. Outputting phased VCF...")
-        rsid_lookup = {}
+        # ---- #3 noise + connections
+        log("#3. Identifying connected variants...")
+        bm, bmm = 0, 0
         for vr, _ in contig_states:
-            vt = vr.vt
-            for i, uid in enumerate(vt.unique_ids):
-                rsid_lookup[uid] = vt.rsids_out[i]
-        with tracer.stage("#7 vcf write", "lines"):
-            res.unphased_phased, res.phase_corrections = write_phased_vcf(
-                vcf, sample_column, o, chrom, writer.state, opts,
-                csi_index=csi_index, rsid_lookup=rsid_lookup)
+            m, mm = noise_terms(vr)
+            bm += m
+            bmm += mm
+        if dist_reduce is not None:
+            # one global reduction mid-pipeline, exactly like the reference's
+            # parent-side merge before edge testing (phaser.py:610-632)
+            bm, bmm = dist_reduce.noise(bm, bmm)
+        if bm == 0:
+            raise RuntimeError("No reads could be matched to variants.")
+        noise_e = float(bmm) / (float(bm + bmm) * 2)
+        res.noise_e = noise_e
+        log("     sequencing noise level estimated at %f" % noise_e)
 
-    if pool is not None:
-        pool.shutdown()
-    total_time = time.time() - t0
-    tracer.finish()
-    for line in tracer.summary_lines():
-        log(line)
-    log("")
-    log("     COMPLETED using %d reads in %d seconds"
-        % (total_reads, total_time))
-    log("     PHASED  %d of %d all variants (= %f) with at least one other "
-        "variant" % (res.phased_variants, het_count,
-                     float(res.phased_variants) / float(het_count)))
-    return res
+        with tracer.stage("#3 connections", "pairs"):
+            def _connect(state):
+                vr = state[0]
+                return (vr, build_connections(vr, noise_e, opts.cc_threshold,
+                                              device=device))
+
+            # same serial-launch invariant as _process_chunk: device pair-count
+            # kernels are dispatched from one thread only
+            if pool is not None and device in ("host", "off") and \
+                    len(contig_states) > 1:
+                contig_states = list(pool.map(_connect, contig_states))
+            else:
+                contig_states = [_connect(s) for s in contig_states]
+        tracer.add("#3 connections",
+                   sum(c.n_pairs for _, c in contig_states), "pairs")
+
+        res.dropped_connections = write_variant_connections(o, contig_states)
+        log("     %d variant connections dropped because of conflicting "
+            "configurations (threshold = %f)"
+            % (res.dropped_connections, opts.cc_threshold))
+        res.covered_count = write_allelic_counts(o, contig_states)
+        log("     %d variants covered by at least 1 read" % res.covered_count)
+
+        # ---- #4/#5 blocks + phasing
+        log("#4. Identifying haplotype blocks...")
+        log("#5. Phasing blocks...")
+        final = []  # (vr, conn, [(v, allele_char)...])
+        with tracer.stage("#4/#5 blocks+phasing", "blocks"):
+            for vr, conn in contig_states:
+                blocks = find_blocks(conn, vr.vt, device=device)
+                tracer.add("#4/#5 blocks+phasing", len(blocks), "blocks")
+                for block in blocks:
+                    vconn = {v: conn.adj[v] for v in block if v in conn.adj}
+                    ac = {}
+                    for v in block:
+                        for a in (0, 1):
+                            if (v, a) in conn.allele_conn:
+                                ac[(v, a)] = conn.allele_conn[(v, a)]
+                    for phased in phase_v3(block, vconn, ac, opts.max_block_size):
+                        final.append((vr, conn, phased))
+
+        # ---- #6 outputs
+        log("#6. Outputting haplotypes...")
+        tracer_stage_out = tracer.stage("#6 outputs", "blocks")
+        tracer_stage_out.__enter__()
+        writer = BlockOutputWriter(o, opts, bam_list, bam_names, excl,
+                                   set_haplo_blacklist)
+        writer.state.block_count = pi_block_value
+        for vr, conn, phased in final:
+            writer.process_block(vr, conn, phased)
+        res.n_blocks = writer.state.block_count
+        res.phased_variants = len(writer.state.all_variant_ids)
+        if opts.unphased_vars == 1:
+            writer.write_singletons(contig_states)
+        writer.close()
+        tracer_stage_out.__exit__(None, None, None)
+
+        # ---- #7 VCF
+        if opts.write_vcf == 1:
+            log("#7. Outputting phased VCF...")
+            rsid_lookup = {}
+            for vr, _ in contig_states:
+                vt = vr.vt
+                for i, uid in enumerate(vt.unique_ids):
+                    rsid_lookup[uid] = vt.rsids_out[i]
+            with tracer.stage("#7 vcf write", "lines"):
+                res.unphased_phased, res.phase_corrections = write_phased_vcf(
+                    vcf, sample_column, o, chrom, writer.state, opts,
+                    csi_index=csi_index, rsid_lookup=rsid_lookup)
+
+        total_time = time.time() - t0
+        tracer.finish()
+        for line in tracer.summary_lines():
+            log(line)
+        log("")
+        log("     COMPLETED using %d reads in %d seconds"
+            % (total_reads, total_time))
+        log("     PHASED  %d of %d all variants (= %f) with at least one other "
+            "variant" % (res.phased_variants, het_count,
+                         float(res.phased_variants) / float(het_count)))
+        return res
+    finally:
+        if pool is not None:
+            pool.shutdown()

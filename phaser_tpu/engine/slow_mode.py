@@ -89,6 +89,13 @@ def _stream_vcf_body(path: str, w: "bgzf.BgzfWriter",
                     in_header = False
             if pos < len(chunk):
                 w.write(chunk[pos:])
+            if not in_header:
+                # header scan just ended: flush the pending partial line in
+                # place so later blocks can pass through unscanned (the
+                # carry would otherwise be orphaned until EOF, corrupting
+                # one record mid-file on any >1-block VCF)
+                w.write(carry)
+                carry = b""
         if carry:
             if carry[:1] == b"#":
                 if include_header:

@@ -180,3 +180,46 @@ def test_cis_var_chr_subset(tmp_path):
         # reference quits with "no phASER data read from input" here
         run_cis_var(bed, vcf, pairs, smap, none, bs=50, chrom="chrX",
                     log=lambda *a: None)
+
+
+def test_cis_var_zero_usable_samples(tmp_path):
+    """A record whose samples map to no matrix columns yields empty cohorts
+    (nan CIs), matching the reference's tolerant membership check
+    (phaser_cis_var.py:137-140) instead of crashing on a float64 empty
+    array (round-2 regression)."""
+    bed, vcf, pairs, smap = _make_cis_var_inputs(tmp_path, n_samples=6,
+                                                 n_genes=2, n_vars=3)
+    # sample map pointing at VCF samples that do not exist
+    bad_map = str(tmp_path / "bad_map.txt")
+    with open(bad_map, "w") as f:
+        f.write("vcf_sample\tbed_sample\n")
+        for i in range(6):
+            f.write("NOPE%d\tB%d\n" % (i, i))
+    out = str(tmp_path / "empty.txt")
+    run_cis_var(bed, vcf, pairs, bad_map, out, bs=50, log=lambda *a: None)
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) > 0
+    assert (df["var_het_n"] == 0).all()
+    assert df["var_het_afc"].isna().all()
+
+
+def test_cis_var_malformed_cells(tmp_path):
+    """Cells without 'a|b' shape (e.g. 'nan') mark that sample ineligible
+    for that gene instead of crashing the whole run; min_cov sums ALL
+    |-fields like the reference's sum(counts)."""
+    bed, vcf, pairs, smap = _make_cis_var_inputs(tmp_path, n_samples=6,
+                                                 n_genes=2, n_vars=3)
+    raw = bgzf.read_text_auto(bed).decode().splitlines()
+    # corrupt one cell of the first gene row; give another a 3-field cell
+    hdr, rows = raw[0], raw[1:]
+    cols = rows[0].split("\t")
+    cols[4] = "nan"
+    cols[5] = "5|5|99"   # all-field sum=109 passes min_cov 11; 5+5 would not
+    rows[0] = "\t".join(cols)
+    bed2 = str(tmp_path / "matrix2.bed.gz")
+    bgzf.compress_to_path(("\n".join([hdr] + rows) + "\n").encode(), bed2)
+    out = str(tmp_path / "mal.txt")
+    run_cis_var(bed2, vcf, pairs, smap, out, bs=50, min_cov=11,
+                log=lambda *a: None)
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) > 0
