@@ -106,17 +106,40 @@ def main():
         t_cis = time.perf_counter() - t0
         n_out = sum(1 for _ in open(out)) - 1
 
-    print(json.dumps({
+        # numpy-engine comparison floor, on a subset when P is large (the
+        # per-pair numpy bootstrap rate is flat, so the subset rate is the
+        # full-run rate)
+        np_pairs = min(P, int(os.environ.get("POP_NUMPY_PAIRS", "30")))
+        with open(pairs_path) as f:
+            pl = f.read().splitlines()
+        sub_pairs = os.path.join(tmp, "pairs_sub.txt")
+        with open(sub_pairs, "w") as f:
+            f.write("\n".join(pl[:np_pairs + 1]) + "\n")
+        out_np = os.path.join(tmp, "cis_var_np.txt")
+        t0 = time.perf_counter()
+        run_cis_var(mat + ".gw_phased.bed.gz", vcf_path, sub_pairs,
+                    map_path, out_np, bs=BS, bs_seed=7, engine="numpy")
+        t_np = time.perf_counter() - t0
+
+    payload = {
         "metric": "pop_samples_per_s",
         "value": round(S / t_matrix, 2),
         "unit": "samples/s",
         "samples": S, "genes": G,
         "matrix_s": round(t_matrix, 3),
         "cis_var_pairs_per_s": round(P / t_cis, 2),
+        "cis_var_numpy_pairs_per_s": round(np_pairs / t_np, 2),
+        "cis_var_numpy_pairs": np_pairs,
         "cis_var_pairs": n_out,
         "cis_var_bs": BS,
         "cis_var_s": round(t_cis, 3),
-    }))
+        "cis_var_numpy_s": round(t_np, 3),
+    }
+    print(json.dumps(payload))
+    out_json = os.environ.get("POP_BENCH_OUT", "")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

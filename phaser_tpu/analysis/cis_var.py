@@ -118,11 +118,24 @@ def _list_to_str(x, sep=",") -> str:
 def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
                 pc: int = 1, min_cov: int = 8, chrom: str = "",
                 bs: int = 10000, ignore_v: int = 0, bs_seed: int = 0,
-                engine: str = "jax", log=print) -> None:
-    """engine='jax' (default) batches all bootstrap draws on the device
-    (kernels.bootstrap); point estimates and test statistics are identical
-    to engine='numpy', CI bounds use the device RNG. Falls back to numpy
-    when jax is unavailable."""
+                engine: str = "auto", log=print) -> None:
+    """engine='jax' batches all bootstrap draws in ONE device program +
+    ONE device->host fetch (kernels.bootstrap); engine='auto' (default)
+    picks jax when the bootstrap workload (pairs x draws) is large enough
+    to amortize the fixed compile + transfer cost, numpy otherwise.
+
+    Cross-engine determinism: point estimates, cohort lists, counts, and
+    the rank-sum test are IDENTICAL between engines; the four CI
+    lower/upper bounds and var_het_pval are engine-specific for the same
+    --bs_seed (numpy: float64 per-pair seeded Generator index resampling;
+    jax: float32 order-statistic sampling — statistically equivalent, not
+    bitwise equal). Pin --engine for bitwise-reproducible CI columns."""
+    df_pairs_n = max(sum(1 for _ in open(pairs)) - 1, 0)
+    if engine == "auto":
+        # fixed jax cost = compile (cached across runs) + one transfer;
+        # numpy costs ~bs*n work per cohort. Crossover on a tunneled TPU
+        # link is ~10 pairs at the default bs=10000.
+        engine = "jax" if df_pairs_n * bs >= 100_000 else "numpy"
     if engine == "jax":
         try:
             import jax  # noqa: F401

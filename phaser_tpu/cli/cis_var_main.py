@@ -21,10 +21,18 @@ def main(argv=None) -> int:
     p.add_argument("--ignore_v", type=int, default=0)
     p.add_argument("--t", type=int, default=1)
     p.add_argument("--bs_seed", type=int, default=0)
-    p.add_argument("--engine", default="jax", choices=["numpy", "jax"],
-                   help="Bootstrap engine (default jax: one batched device "
-                        "dispatch for all pairs' draws; numpy = serial "
-                        "per-pair reference-style resampling).")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "numpy", "jax"],
+                   help="Bootstrap engine. jax = one batched device program "
+                        "+ one transfer for all pairs' draws; numpy = "
+                        "per-pair reference-style resampling; auto picks "
+                        "jax only when pairs x bs amortizes the fixed "
+                        "compile+transfer cost. NOTE: the four CI "
+                        "lower/upper columns and var_het_pval are "
+                        "engine-specific for the same --bs_seed "
+                        "(statistically equivalent, not bitwise equal); "
+                        "every other column is identical between engines. "
+                        "Pin --engine for bitwise-reproducible CIs.")
     args = p.parse_args(argv)
     try:
         run_cis_var(args.bed, args.vcf, args.pairs, args.map, args.o,

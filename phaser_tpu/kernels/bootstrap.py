@@ -62,12 +62,15 @@ def _bootstrap_medians(xs_sorted: jax.Array, n: jax.Array, key: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("bs",))
 def _median_tails(meds: jax.Array, bs: int):
+    """One stacked (3, B) result [lower; upper; p] so the caller needs a
+    SINGLE device->host fetch — three separate fetches cost ~4.5 s EACH
+    through a tunneled link (same lesson as mapper.dispatch.resolve_all)."""
     lower = jnp.percentile(meds, 2.5, axis=1)
     upper = jnp.percentile(meds, 97.5, axis=1)
     pos = (meds > 0).sum(axis=1)
     neg = (meds < 0).sum(axis=1)
     p = jnp.minimum(pos, neg) / bs * 2.0
-    return lower, upper, p
+    return jnp.stack([lower, upper, p])
 
 
 def batched_bootstrap_median(xs_sorted: jax.Array, n: jax.Array,
@@ -77,9 +80,9 @@ def batched_bootstrap_median(xs_sorted: jax.Array, n: jax.Array,
 
     xs_sorted: (B, Npad) cohorts sorted ascending with +inf padding.
     n: (B,) true cohort sizes (>= 1).
-    Returns (lower (B,), upper (B,), p_two_sided (B,)) where lower/upper are
-    the 2.5/97.5 percentiles of bootstrap medians and p is the two-sided
-    sign test of the median distribution vs 0.
+    Returns a stacked (3, B) device array [lower; upper; p] — the 2.5/97.5
+    percentiles of bootstrap medians and the two-sided sign test of the
+    median distribution vs 0. Stacked so one np.asarray fetches all three.
 
     Deliberately TWO device programs (sampler, then percentiles): fusing the
     gamma rejection-sampler while_loop with the percentile sort sends XLA's
@@ -116,9 +119,10 @@ def bootstrap_cis_device(cohorts: List[np.ndarray], bs: int,
     n_arr = np.ones(Bp, np.int32)
     n_arr[:B] = ns
     key = jax.random.key(seed)
-    lo, hi, p = batched_bootstrap_median(jnp.asarray(X), jnp.asarray(n_arr),
-                                         key, bs)
-    lo, hi, p = np.asarray(lo), np.asarray(hi), np.asarray(p)
+    stacked = batched_bootstrap_median(jnp.asarray(X), jnp.asarray(n_arr),
+                                       key, bs)
+    # ONE device->host transfer for every cohort's (lower, upper, p)
+    lo, hi, p = np.asarray(stacked)
     for k, i in enumerate(idxs):
         out[i] = (float(lo[k]), float(hi[k]), float(p[k]))
     return out

@@ -6,15 +6,19 @@ import pandas as pd
 from phaser_tpu.analysis.cis_var import run_cis_var
 from test_pop_parity import _make_cis_var_inputs
 
-DET = ["gene", "var_id", "var_pos", "var_het_n", "var_hom_n",
+# every non-CI column: byte-identical across engines (the four CI
+# lower/upper pairs + var_het_pval are the only engine-specific columns,
+# documented in cli/cis_var_main.py --engine help)
+DET = ["gene", "var_id", "var_chr", "var_pos", "var_het_n", "var_hom_n",
        "het_hom_pvalue", "var_het_afc", "var_het_abs_afc", "var_hom_afc",
        "var_hom_abs_afc", "var_het_afcs", "var_hom_afcs",
-       "var_het_sample_ids", "var_hom_sample_ids"]
+       "var_het_ref_counts", "var_het_alt_counts", "var_hom_hap1_counts",
+       "var_hom_hap2_counts", "var_het_sample_ids", "var_hom_sample_ids"]
 
 
 def test_cis_var_jax_engine(tmp_path):
-    bed, vcf, pairs, smap = _make_cis_var_inputs(tmp_path, n_samples=30,
-                                                 n_genes=6, n_vars=12)
+    bed, vcf, pairs, smap = _make_cis_var_inputs(tmp_path, n_samples=80,
+                                                 n_genes=10, n_vars=40)
     a = str(tmp_path / "np.txt")
     b = str(tmp_path / "jx.txt")
     run_cis_var(bed, vcf, pairs, smap, a, bs=500, engine="numpy",
