@@ -1,0 +1,420 @@
+"""Multi-shard / multi-host execution of the FULL phasing engine.
+
+The reference merges all worker state in the parent before edge testing
+(/root/reference/phaser/phaser.py:558-586, noise :610-632, AS quantile
+:540-553); phaser_tpu replaces the fork pool with contig-sharded engine
+runs whose four global merge points go through collectives:
+
+  shard = a contiguous range of the VCF's contigs (connections never cross
+  contigs, phaser.py:1278-1280, so contigs are the natural shard axis).
+  Each shard runs the COMPLETE engine (`engine.pipeline.run_phaser`) on
+  its contigs with a `dist_reduce` reducer that implements:
+
+    as_percentile  - AS-score quantile over every shard's reads
+    row_offsets    - global (bam, contig, entry) row-sequence placement
+    noise          - the global sequencing-noise estimate
+    block_base     - exclusive prefix sum of block counts (PI indices)
+
+  Per-shard outputs then merge into files BIT-IDENTICAL to the
+  single-process run: per-contig sections concatenate in contig order;
+  globally-sorted sections (singletons, allelic counts — ordered by the
+  bam-major first_seen row sequence) merge by key from per-shard `.part`
+  sidecars; per-shard VCF bodies stream-concatenate block-by-block.
+
+Two transports share the same reducer logic:
+
+  ThreadReducer    - in-process shards on threads + barriers (tests, the
+                     driver's virtual-mesh dryrun, single-host many-core)
+  MultihostReducer - one shard per jax process over
+                     jax.experimental.multihost_utils allgathers (Gloo on
+                     CPU, ICI/DCN on a real TPU slice)
+
+The merge step reads every shard's files, so multi-host runs need a shared
+filesystem (or post-run collection) — the same operational model as the
+reference's temp-file merges.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import pickle
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..engine.output_stage import PhaserOptions
+from ..engine.pipeline import PhaserResult, run_phaser
+from ..engine.slow_mode import _stream_vcf_body, list_contigs
+
+# chrom sentinel for a shard with no contigs (more processes than contigs):
+# matches no contig but keeps the shard participating in every collective
+EMPTY_SHARD = "\x00none"
+
+ALLELIC_COUNTS_HEADER = ("contig\tposition\tvariantID\trefAllele\taltAllele"
+                         "\trefCount\taltCount\ttotalCount\n")
+
+
+def split_contigs(contigs: Sequence[str], n_shards: int) -> List[List[str]]:
+    """Contiguous contig ranges (global order preserved), sizes balanced."""
+    base, rem = divmod(len(contigs), n_shards)
+    out, i = [], 0
+    for s in range(n_shards):
+        k = base + (1 if s < rem else 0)
+        out.append(list(contigs[i:i + k]))
+        i += k
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reducers
+
+class _ReducerBase:
+    """The four engine merge points in terms of one allgather primitive.
+
+    Subclasses provide `_allgather(payload) -> List[payload]` (per-shard
+    payloads in shard order), `shard_id`, `n_shards`, and `rank_of`
+    (contig name -> global contig rank).
+    """
+
+    shard_id: int
+    n_shards: int
+    rank_of: Dict[str, int]
+
+    def _allgather(self, payload):
+        raise NotImplementedError
+
+    def noise(self, bm: int, bmm: int) -> Tuple[int, int]:
+        parts = self._allgather(("noise", int(bm), int(bmm)))
+        return (sum(p[1] for p in parts), sum(p[2] for p in parts))
+
+    def as_percentile(self, scores, q: float) -> Optional[float]:
+        parts = self._allgather(("as", np.asarray(scores, np.float64)))
+        allv = np.concatenate([p[1] for p in parts])
+        if allv.size == 0:
+            return None
+        return float(np.percentile(allv, q))
+
+    def row_offsets(self, entries) -> List[int]:
+        """entries: [(bam_i, contig, entry_i, n_rows)] in this shard's scan
+        order. Returns the global row-sequence start offset per entry —
+        identical to the offsets the single-process bam-major scan
+        (engine.pipeline) would have assigned."""
+        local = [(b, self.rank_of[c], e, int(n)) for b, c, e, n in entries]
+        parts = self._allgather(("rows", local))
+        tagged = []
+        for sid, p in enumerate(parts):
+            for k, (b, r, e, n) in enumerate(p[1]):
+                tagged.append(((b, r, e), sid, k, n))
+        tagged.sort(key=lambda t: t[0])
+        seq = 0
+        mine: Dict[int, int] = {}
+        for _, sid, k, n in tagged:
+            if sid == self.shard_id:
+                mine[k] = seq
+            seq += n
+        return [mine[k] for k in range(len(entries))]
+
+    def block_base(self, n_blocks: int) -> int:
+        parts = self._allgather(("blocks", int(n_blocks)))
+        return sum(p[1] for p in parts[: self.shard_id])
+
+    def barrier(self) -> None:
+        self._allgather(("barrier",))
+
+
+class _ThreadGroup:
+    """Shared state for in-process shard threads: one reusable allgather
+    slot guarded by a double barrier (write-all, read-all)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.barrier = threading.Barrier(n)
+        self.data: List = [None] * n
+
+    def allgather(self, shard_id: int, payload):
+        self.data[shard_id] = payload
+        self.barrier.wait()
+        out = list(self.data)
+        self.barrier.wait()   # everyone has read before the slot is reused
+        return out
+
+    def abort(self) -> None:
+        self.barrier.abort()
+
+
+class ThreadReducer(_ReducerBase):
+    def __init__(self, group: _ThreadGroup, shard_id: int,
+                 rank_of: Dict[str, int]):
+        self.group = group
+        self.shard_id = shard_id
+        self.n_shards = group.n
+        self.rank_of = rank_of
+
+    def _allgather(self, payload):
+        return self.group.allgather(self.shard_id, payload)
+
+
+class MultihostReducer(_ReducerBase):
+    """Cross-process allgather over jax.experimental.multihost_utils.
+
+    Payloads are pickled to uint8 tensors (lengths allgathered first, then
+    the padded bytes) — the collective rides Gloo on CPU meshes and
+    ICI/DCN on a real slice; payload sizes are a few MB at most (score
+    lists), far below link limits.
+    """
+
+    def __init__(self, rank_of: Dict[str, int]):
+        import jax
+        self.shard_id = jax.process_index()
+        self.n_shards = jax.process_count()
+        self.rank_of = rank_of
+
+    def _allgather(self, payload):
+        from jax.experimental import multihost_utils as mhu
+        buf = np.frombuffer(pickle.dumps(payload), np.uint8)
+        lens = np.asarray(mhu.process_allgather(
+            np.array([len(buf)], np.int32), tiled=False)).reshape(-1)
+        m = int(lens.max()) if lens.size else 0
+        pad = np.zeros(max(m, 1), np.uint8)
+        pad[:len(buf)] = buf
+        g = np.asarray(mhu.process_allgather(pad, tiled=False))
+        g = g.reshape(self.n_shards, -1)
+        return [pickle.loads(g[i, :int(lens[i])].tobytes())
+                for i in range(self.n_shards)]
+
+
+# ---------------------------------------------------------------------------
+# output merge
+
+def _keyed_iter(path: str):
+    with open(path) as f:
+        for ln in f:
+            k, rest = ln.split("\t", 1)
+            yield int(k), rest
+
+
+def _merge_keyed(paths: List[str], out) -> None:
+    """k-way merge of per-shard key-sorted '.part' files; stable for equal
+    keys (multi-bam rows of one singleton share a first_seen key)."""
+    streams = [_keyed_iter(p) for p in paths if os.path.isfile(p)]
+    for _, line in heapq.merge(*streams, key=lambda t: t[0]):
+        out.write(line)
+
+
+def _concat_with_header(paths: List[str], out_path: str) -> None:
+    import shutil
+    with open(out_path, "w") as out:
+        wrote_header = False
+        for p in paths:
+            if not os.path.isfile(p):
+                continue
+            with open(p) as fh:
+                first = fh.readline()
+                if first and not wrote_header:
+                    out.write(first)
+                    wrote_header = True
+                shutil.copyfileobj(fh, out)
+
+
+def merge_shard_outputs(o: str, n_shards: int, opts: PhaserOptions,
+                        cleanup: bool = True) -> None:
+    """Assemble per-shard outputs into the final files, matching the
+    single-process run byte-for-byte (section order per
+    engine.output_stage: block rows in global contig order, then singleton
+    rows in global first_seen order)."""
+    from ..io import bgzf, tabix
+
+    pre = [o + ".shard%d" % s for s in range(n_shards)]
+
+    # block sections concatenate; singleton sections merge by key
+    for sfx, part_sfx in (("haplotypes.txt", "singletons.haplotypes.part"),
+                          ("haplotypic_counts.txt",
+                           "singletons.haplotypic_counts.part")):
+        _concat_with_header([p + "." + sfx for p in pre], o + "." + sfx)
+        with open(o + "." + sfx, "a") as out:
+            _merge_keyed([p + "." + part_sfx for p in pre], out)
+
+    for sfx in ("variant_connections.txt", "allele_config.txt"):
+        _concat_with_header([p + "." + sfx for p in pre], o + "." + sfx)
+
+    with open(o + ".allelic_counts.txt", "w") as out:
+        out.write(ALLELIC_COUNTS_HEADER)
+        _merge_keyed([p + ".allelic_counts.part" for p in pre], out)
+
+    # --output_network targets one variant: at most one shard produced them
+    for sfx in ("network.links.txt", "network.nodes.txt"):
+        for p in pre:
+            if os.path.isfile(p + "." + sfx):
+                os.replace(p + "." + sfx, o + "." + sfx)
+                break
+
+    if opts.write_vcf == 1:
+        gz = o + ".vcf.gz"
+        with bgzf.BgzfWriter(gz) as w:
+            emitted = False
+            for p in pre:
+                path = p + ".vcf.gz"
+                if not os.path.isfile(path):
+                    continue
+                _stream_vcf_body(path, w, include_header=not emitted)
+                emitted = True
+        tabix.build_vcf_index(gz)
+
+    if cleanup:
+        for p in pre:
+            for sfx in ("haplotypes.txt", "haplotypic_counts.txt",
+                        "variant_connections.txt", "allele_config.txt",
+                        "singletons.haplotypes.part",
+                        "singletons.haplotypic_counts.part",
+                        "allelic_counts.part", "vcf.gz", "vcf.gz.tbi",
+                        "vcf.gz.csi"):
+                path = p + "." + sfx
+                if os.path.isfile(path):
+                    os.remove(path)
+
+
+def _merge_results(per_shard: List[PhaserResult]) -> PhaserResult:
+    total = PhaserResult()
+    for r in per_shard:
+        total.total_reads += r.total_reads
+        total.het_count += r.het_count
+        total.phased_variants += r.phased_variants
+        total.unphased_count += r.unphased_count
+        total.covered_count += r.covered_count
+        total.dropped_connections += r.dropped_connections
+        total.unphased_phased += r.unphased_phased
+        total.phase_corrections += r.phase_corrections
+    # block_count is a running global index; the final value is the max
+    total.n_blocks = max((r.n_blocks for r in per_shard), default=0)
+    total.noise_e = per_shard[0].noise_e if per_shard else 0.0
+    return total
+
+
+# ---------------------------------------------------------------------------
+# drivers
+
+def _shard_chrom(assign: List[List[str]], sid: int) -> str:
+    my = assign[sid] if sid < len(assign) else []
+    return ",".join(my) if my else EMPTY_SHARD
+
+
+def run_phaser_sharded_threads(*, n_shards: int, vcf: str, bam: str,
+                               sample: str, o: str, mapq: str, baseq: int,
+                               paired_end: str, chrom: str = "",
+                               opts: Optional[PhaserOptions] = None,
+                               device: str = "host", log=print,
+                               **kw) -> PhaserResult:
+    """In-process sharded run: n_shards engine threads + ThreadReducer.
+
+    Device launches must stay single-threaded, so this driver requires
+    device in ('host', 'off') — exactly the engine's own threading gate.
+    """
+    if device not in ("host", "off"):
+        raise ValueError("thread-sharded engine requires device='host'")
+    opts = opts or PhaserOptions()
+    contigs = chrom.split(",") if chrom else list_contigs(vcf)
+    n_shards = max(1, min(n_shards, len(contigs)))
+    assign = split_contigs(contigs, n_shards)
+    rank_of = {c: i for i, c in enumerate(contigs)}
+    group = _ThreadGroup(n_shards)
+    results: List[Optional[PhaserResult]] = [None] * n_shards
+    errors: List = []
+
+    def worker(sid: int):
+        red = ThreadReducer(group, sid, rank_of)
+        try:
+            results[sid] = run_phaser(
+                vcf=vcf, bam=bam, sample=sample, o=o + ".shard%d" % sid,
+                mapq=mapq, baseq=baseq, paired_end=paired_end,
+                chrom=_shard_chrom(assign, sid), opts=opts, device=device,
+                dist_reduce=red, split_outputs=True,
+                log=log if sid == 0 else (lambda *a: None), **kw)
+        except BaseException as e:  # noqa: BLE001 - must unblock peers
+            errors.append((sid, e))
+            group.abort()
+
+    threads = [threading.Thread(target=worker, args=(s,), daemon=True)
+               for s in range(n_shards)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        sid, e = errors[0]
+        if not isinstance(e, threading.BrokenBarrierError):
+            raise RuntimeError("shard %d failed: %s" % (sid, e)) from e
+        raise RuntimeError("sharded run aborted") from e
+    merge_shard_outputs(o, n_shards, opts)
+    return _merge_results([r for r in results if r is not None])
+
+
+def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
+                         mapq: str, baseq: int, paired_end: str,
+                         num_processes: int, process_id: int,
+                         coordinator: str = "localhost:9711",
+                         platform: str = "cpu", chrom: str = "",
+                         opts: Optional[PhaserOptions] = None,
+                         device: str = "host", log=print,
+                         **kw) -> PhaserResult:
+    """One engine shard per jax process; rank 0 merges after a barrier.
+
+    platform='cpu' runs the collectives over Gloo; on a real slice pass
+    platform='' (leave the TPU runtime) and launch one process per host.
+    """
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    opts = opts or PhaserOptions()
+    contigs = chrom.split(",") if chrom else list_contigs(vcf)
+    assign = split_contigs(contigs, min(num_processes, len(contigs)))
+    rank_of = {c: i for i, c in enumerate(contigs)}
+    red = MultihostReducer(rank_of)
+    res = run_phaser(
+        vcf=vcf, bam=bam, sample=sample, o=o + ".shard%d" % process_id,
+        mapq=mapq, baseq=baseq, paired_end=paired_end,
+        chrom=_shard_chrom(assign, process_id), opts=opts, device=device,
+        dist_reduce=red, split_outputs=True,
+        log=log if process_id == 0 else (lambda *a: None), **kw)
+    red.barrier()   # every shard's files are on disk before the merge
+    if process_id == 0:
+        merge_shard_outputs(o, red.n_shards, opts)
+    return res
+
+
+def _mp_main(argv=None) -> int:
+    import argparse
+    ap = argparse.ArgumentParser(prog="phaser_tpu.dist.engine_multihost")
+    ap.add_argument("--bam", required=True)
+    ap.add_argument("--vcf", required=True)
+    ap.add_argument("--sample", required=True)
+    ap.add_argument("--o", required=True)
+    ap.add_argument("--mapq", default="10")
+    ap.add_argument("--baseq", type=int, default=10)
+    ap.add_argument("--paired_end", default="1")
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--coordinator", default="localhost:9711")
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--chr", default="")
+    args = ap.parse_args(argv)
+    res = run_phaser_multihost(
+        vcf=args.vcf, bam=args.bam, sample=args.sample, o=args.o,
+        mapq=args.mapq, baseq=args.baseq, paired_end=args.paired_end,
+        num_processes=args.num_processes, process_id=args.process_id,
+        coordinator=args.coordinator, platform=args.platform,
+        chrom=args.chr)
+    print("MULTIHOST_ENGINE_DONE shard=%d reads=%d noise=%.8f"
+          % (args.process_id, res.total_reads, res.noise_e))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+    _sys.exit(_mp_main())

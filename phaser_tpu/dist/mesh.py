@@ -46,17 +46,22 @@ def pad_to_multiple(a: np.ndarray, mult: int, axis: int = 0,
 
 def sharded_phasing_step(mesh: Mesh, codes, quals, refpos, vpos, ind_codes,
                          n_ind, baseq: int, band: int = 8,
-                         score_block: int = 8):
+                         score_block: int = 8,
+                         cc_threshold: float = 0.01):
     """One full sharded pipeline step, dryrun/compile target for the driver:
 
       per shard: allele assignment -> per-(variant, allele-class) counts and
       BANDED pair-configuration counts (variant pairs within `band` table
       entries — connections are bounded by fragment span, so the pair tensor
       is a dense (M, band, 9) band, psum-able across the mesh exactly like
-      the reference's pool merges) -> psum -> batched 2^(K-1) phase-config
-      scoring on the MXU for the first `score_block`-variant window.
+      the reference's pool merges) -> psum -> ON-DEVICE #3: global noise
+      estimate from the merged counts + banded connection tests + pruning
+      (kernels.stats — counts never leave HBM) -> batched 2^(K-1)
+      phase-config scoring on the MXU for the first `score_block`-variant
+      window.
 
-    Returns (allele_counts (M,3), pair_band (M,band,9), scores (2^(K-1),)).
+    Returns (allele_counts (M,3), pair_band (M,band,9),
+             prune (M,band) bool, scores (2^(K-1),)).
     """
     try:
         from jax import shard_map
@@ -97,8 +102,25 @@ def sharded_phasing_step(mesh: Mesh, codes, quals, refpos, vpos, ind_codes,
         return (jax.lax.psum(counts, "reads"), jax.lax.psum(pair, "reads"))
 
     counts, pair = step(codes, quals, refpos, vpos, ind_codes, n_ind)
-    # phase-config scoring for the first score_block variants: build a toy
-    # allele adjacency from the merged band and score every complement class
+
+    # ---- on-device #3: noise + connection tests on the merged tensors
+    # (replicated post-psum, so this runs without further collectives)
+    from ..kernels.stats import noise_from_counts, prune_mask
+
+    noise_e = noise_from_counts(counts)
+    cfg_a = pair[:, :, 0] + pair[:, :, 4]          # cis support
+    cfg_b = pair[:, :, 1] + pair[:, :, 3]          # trans support
+    other = (pair[:, :, 2] + pair[:, :, 5] + pair[:, :, 6] +
+             pair[:, :, 7] + pair[:, :, 8])
+    _, prune, _ = prune_mask(cfg_a.astype(jnp.float32),
+                             cfg_b.astype(jnp.float32),
+                             other.astype(jnp.float32), noise_e,
+                             cc_threshold)
+
+    # phase-config scoring for the first score_block variants: derive a
+    # cis-support allele adjacency from the globally-merged band and score
+    # every complement class (__graft_entry__ recomputes this construction
+    # on the host and asserts the scores value-for-value)
     K = score_block
     M = jnp.zeros((2 * K, 2 * K), jnp.float32)
     for dd in range(min(band, K - 1)):
@@ -110,7 +132,7 @@ def sharded_phasing_step(mesh: Mesh, codes, quals, refpos, vpos, ind_codes,
             M = M.at[i * 2 + 1, j * 2 + 1].set(cis[i].astype(jnp.float32))
             M = M.at[j * 2 + 1, i * 2 + 1].set(cis[i].astype(jnp.float32))
     scores = enumerate_scores(M, K)
-    return counts, pair, scores
+    return counts, pair, prune, scores
 
 
 def sharded_allele_counts(mesh: Mesh, codes, quals, refpos, vpos, ind_codes,

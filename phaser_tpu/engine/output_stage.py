@@ -73,13 +73,22 @@ class BlockOutputWriter:
     def __init__(self, out_prefix: str, opts: PhaserOptions,
                  bam_list: List[str], bam_names: List[str],
                  haplo_count_bam_exclude: Sequence[int],
-                 set_haplo_blacklist: Set[str]):
+                 set_haplo_blacklist: Set[str],
+                 singleton_files: bool = False):
+        """singleton_files: divert singleton rows into keyed `.part` files
+        ("<first_seen_key>\\t<row>") instead of appending to the main
+        outputs. Used by the multi-shard engine (dist.engine_multihost):
+        singleton sections are sorted GLOBALLY by first_seen in the
+        reference's output (phaser.py:1179-1239), so per-shard rows must
+        carry their sort key for the cross-shard merge."""
         self.opts = opts
         self.bam_list = bam_list
         self.bam_names = bam_names
         self.excl = set(haplo_count_bam_exclude)
         self.blacklist = set_haplo_blacklist
         self.state = OutputState()
+        self.singleton_files = singleton_files
+        self.f_hap_sing = self.f_ase_sing = None
         self.f_ase = open(out_prefix + ".haplotypic_counts.txt", "w")
         ase_columns = ["contig", "start", "stop", "variants", "variantCount",
                        "variantsBlacklisted", "variantCountBlacklisted",
@@ -98,7 +107,24 @@ class BlockOutputWriter:
         self.f_cfg = open(out_prefix + ".allele_config.txt", "w")
         self.f_cfg.write("\t".join(
             ["variant_a", "rsid_a", "variant_b", "rsid_b", "configuration"]) + "\n")
+        if singleton_files:
+            self.f_hap_sing = open(
+                out_prefix + ".singletons.haplotypes.part", "w")
+            self.f_ase_sing = open(
+                out_prefix + ".singletons.haplotypic_counts.part", "w")
         self.out_prefix = out_prefix
+
+    def _emit_single_hap(self, key: int, line: str) -> None:
+        if self.singleton_files:
+            self.f_hap_sing.write("%d\t%s" % (key, line))
+        else:
+            self.f_hap.write(line)
+
+    def _emit_single_ase(self, key: int, line: str) -> None:
+        if self.singleton_files:
+            self.f_ase_sing.write("%d\t%s" % (key, line))
+        else:
+            self.f_ase.write(line)
 
     # ------------------------------------------------------------------
     def process_block(self, vr: VariantReads, conn: ContigConnections,
@@ -409,7 +435,7 @@ class BlockOutputWriter:
                 singles.append((int(vr.first_seen[v]), vr, int(v)))
         singles.sort(key=lambda t: t[0])
 
-        for _, vr, v in singles:
+        for skey, vr, v in singles:
             vt = vr.vt
             vid = vt.unique_ids[v]
             chrom = vt.chrom
@@ -444,9 +470,10 @@ class BlockOutputWriter:
                                 list_to_string([names[int(u)].decode() for u in ub])]
                         fields_out += [str(vt.mafs[v]), bam_name]
                         fields_out += ["", ""]
-                        self.f_ase.write("\t".join(fields_out) + "\n")
+                        self._emit_single_ase(
+                            skey, "\t".join(fields_out) + "\n")
 
-        for _, vr, v in singles:
+        for skey, vr, v in singles:
             vt = vr.vt
             vid = vt.unique_ids[v]
             ind = vt.ind_alleles[v]
@@ -460,7 +487,8 @@ class BlockOutputWriter:
             else:
                 phase_string = "-|-"
             out_name = vt.rsids_out[v] if opts.unique_ids == 0 else vid
-            self.f_hap.write(
+            self._emit_single_hap(
+                skey,
                 vt.chrom + "\t" + str(int(vt.pos[v]) - 1) + "\t" +
                 str(int(vt.pos[v])) + "\t" + str(1) + "\t" + str(1) + "\t" +
                 out_name + "\t" + ind[0] + "|" + ind[1] + "\t" + str(c0) +
@@ -473,10 +501,21 @@ class BlockOutputWriter:
         self.f_hap.close()
         self.f_ase.close()
         self.f_cfg.close()
+        if self.f_hap_sing is not None:
+            self.f_hap_sing.close()
+        if self.f_ase_sing is not None:
+            self.f_ase_sing.close()
 
 
-def write_allelic_counts(out_prefix: str, contig_states) -> int:
-    """GATK-ASEReadCounter-format counts (:736-751), global first-seen order."""
+def write_allelic_counts(out_prefix: str, contig_states,
+                         keyed: bool = False) -> int:
+    """GATK-ASEReadCounter-format counts (:736-751), global first-seen order.
+
+    keyed: write "<first_seen_key>\\t<row>" lines to a headerless
+    `.allelic_counts.part` file instead — the multi-shard engine merge
+    sorts rows by key ACROSS shards (first_seen is a global row sequence,
+    bam-major, so per-shard concatenation alone would misorder multi-bam
+    runs)."""
     rows: List[Tuple[int, str]] = []
     covered = 0
     for vr, _ in contig_states:
@@ -493,6 +532,11 @@ def write_allelic_counts(out_prefix: str, contig_states) -> int:
                                  str(ref_reads + alt_reads) + "\n"])
                 rows.append((int(vr.first_seen[v]), row))
     rows.sort(key=lambda t: t[0])
+    if keyed:
+        with open(out_prefix + ".allelic_counts.part", "w") as f:
+            for key, row in rows:
+                f.write("%d\t%s" % (key, row))
+        return covered
     with open(out_prefix + ".allelic_counts.txt", "w") as f:
         f.write("contig\tposition\tvariantID\trefAllele\taltAllele\trefCount"
                 "\taltCount\ttotalCount\n")

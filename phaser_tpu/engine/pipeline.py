@@ -62,13 +62,25 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                haplo_count_bam_exclude: str = "", chrom: str = "",
                opts: Optional[PhaserOptions] = None, device: str = "host",
                pi_block_value: int = 0, threads: int = 1,
-               dist_reduce=None, log=print) -> PhaserResult:
-    """dist_reduce: optional cross-process reducer (dist.engine_multihost)
-    with `noise(bm, bmm) -> (bm, bmm)` and
-    `as_percentile(scores, q) -> (cutoff | None)` — the multi-host
-    equivalents of the reference's global pool merges: the noise estimate
-    (/root/reference/phaser/phaser.py:610-632) and the AS-score quantile
-    (:540-553) are computed over ALL shards before any shard tests edges."""
+               dist_reduce=None, split_outputs: bool = False,
+               log=print) -> PhaserResult:
+    """dist_reduce: optional cross-shard reducer (dist.engine_multihost)
+    implementing the engine's four global merge points, called in a FIXED
+    order on every shard (collectives block until all shards arrive):
+
+      1. `as_percentile(scores, q)` per bam — the AS-score quantile over
+         all shards (/root/reference/phaser/phaser.py:540-553)
+      2. `row_offsets(entries)` — global (bam, contig, entry) row-sequence
+         placement, so first_seen ordering and uids match the
+         single-process run exactly
+      3. `noise(bm, bmm)` — the global sequencing-noise estimate merged
+         before any shard tests edges (:610-632)
+      4. `block_base(n_blocks)` — exclusive prefix sum of per-shard block
+         counts, keeping PI block indices globally unique and ordered
+
+    split_outputs: write globally-sorted sections (singletons, allelic
+    counts) as keyed `.part` files for the cross-shard merge instead of
+    appending them to the per-shard outputs."""
     opts = opts or PhaserOptions()
     t0 = time.time()
     res = PhaserResult()
@@ -150,7 +162,10 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     log("          %d heterozygous sites being used for phasing "
         "(%d filtered, %d indels excluded, %d unphased)"
         % (het_count, hs.filter_count, indels_excluded, hs.unphased_count))
-    if het_count == 0:
+    if het_count == 0 and dist_reduce is None:
+        # a multi-shard run must keep going: every shard has to reach the
+        # dist_reduce collectives in order or its peers would block; a
+        # globally-empty run still fails at the noise reduction below
         raise RuntimeError("No heterozygous sites that passed all filters "
                            "were included in the analysis")
 
@@ -285,21 +300,35 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     log("          using alignment score cutoff of %d" % cutoff)
             as_cutoffs[bam_i] = cutoff
 
-        # global row sequence offsets: bam-major, then contig, then entry/row
+        # global row sequence offsets: bam-major, then contig, then entry/row.
+        # row_seq values feed first_seen (output row ordering) and uid
+        # assignment, so under a multi-shard run each shard must place its
+        # entries at the offsets the single-process run would have used —
+        # dist_reduce.row_offsets allgathers every shard's per-entry counts
+        # and positions them in global (bam, contig_rank, entry) order.
         entry_offsets: Dict[str, list] = {c: [None] * len(per_contig_bam_hits[c])
                                           for c in contig_order}
-        seq = 0
+        entries = []  # (bam_i, contig, entry_i, n_rows) in global scan order
         for bam_i in range(len(bam_list)):
             for c in contig_order:
                 for ei, (b, chunk, hits) in enumerate(per_contig_bam_hits[c]):
                     if b != bam_i or chunk is None:
                         continue
-                    entry_offsets[c][ei] = seq
                     n = len(hits)
                     if as_cutoffs[bam_i] is not None and n:
                         kept = chunk.as_score[hits.read_idx] >= as_cutoffs[bam_i]
                         n = int(kept.sum())
-                    seq += n
+                    entries.append((bam_i, c, ei, n))
+        if dist_reduce is not None:
+            offs = dist_reduce.row_offsets(entries)
+        else:
+            offs = []
+            seq = 0
+            for (_, _, _, n) in entries:
+                offs.append(seq)
+                seq += n
+        for (bam_i, c, ei, n), off in zip(entries, offs):
+            entry_offsets[c][ei] = off
 
         total_reads = 0
         with tracer.stage("#2 accumulate", "rows"):
@@ -363,7 +392,8 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         log("     %d variant connections dropped because of conflicting "
             "configurations (threshold = %f)"
             % (res.dropped_connections, opts.cc_threshold))
-        res.covered_count = write_allelic_counts(o, contig_states)
+        res.covered_count = write_allelic_counts(o, contig_states,
+                                                 keyed=split_outputs)
         log("     %d variants covered by at least 1 read" % res.covered_count)
 
         # ---- #4/#5 blocks + phasing
@@ -389,8 +419,14 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         tracer_stage_out = tracer.stage("#6 outputs", "blocks")
         tracer_stage_out.__enter__()
         writer = BlockOutputWriter(o, opts, bam_list, bam_names, excl,
-                                   set_haplo_blacklist)
-        writer.state.block_count = pi_block_value
+                                   set_haplo_blacklist,
+                                   singleton_files=split_outputs)
+        # PI block indices are assigned in global processing order; under a
+        # multi-shard run each shard starts at the sum of earlier shards'
+        # block counts (len(final) == blocks this shard will emit)
+        base = (dist_reduce.block_base(len(final))
+                if dist_reduce is not None else 0)
+        writer.state.block_count = pi_block_value + base
         for vr, conn, phased in final:
             writer.process_block(vr, conn, phased)
         res.n_blocks = writer.state.block_count
@@ -420,9 +456,10 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         log("")
         log("     COMPLETED using %d reads in %d seconds"
             % (total_reads, total_time))
-        log("     PHASED  %d of %d all variants (= %f) with at least one other "
-            "variant" % (res.phased_variants, het_count,
-                         float(res.phased_variants) / float(het_count)))
+        if het_count:
+            log("     PHASED  %d of %d all variants (= %f) with at least one "
+                "other variant" % (res.phased_variants, het_count,
+                                   float(res.phased_variants) / float(het_count)))
         return res
     finally:
         if pool is not None:

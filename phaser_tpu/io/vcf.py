@@ -106,7 +106,10 @@ def haplo_blacklist_positions(filtered_lines: List[str], blacklist: IntervalSet,
             continue
         chrom, pos, ref = cols[0], int(cols[1]), cols[3]
         if blacklist.overlaps(chrom, np.array([pos - 1]), np.array([pos - 1 + len(ref)]))[0]:
-            if chrom_of_interest == "" or chrom_of_interest == chrom:
+            # chrom_of_interest may be a comma-separated contig list
+            # (multi-contig shards), like every other chrom filter here
+            if chrom_of_interest == "" or \
+                    chrom in chrom_of_interest.split(","):
                 out.add(chrom + "_" + str(pos))
     return out
 
