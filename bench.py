@@ -220,6 +220,31 @@ def bench_device(bd, vt):
             "device_hits": int(sum(len(h) for h in all_hits))}
 
 
+def bench_engine_device_fraction():
+    """Fraction of a FULL engine run's wall-clock spent on the device path
+    (upload prep + launches + waits + fetches) under --device auto — the
+    falsifiable form of any "TPU-first" claim on this link (also printed in
+    every run's tracer summary)."""
+    import datagen
+    from phaser_tpu.engine.output_stage import PhaserOptions
+    from phaser_tpu.engine.pipeline import run_phaser
+    from phaser_tpu.utils import trace
+
+    with tempfile.TemporaryDirectory() as td:
+        vcf, bam, _ = datagen.write_fixture_dir(
+            td, seed=2, contigs=("chr20",), n_variants_per_contig=150,
+            n_reads_per_contig=4000)
+        d0, t0 = trace.device_seconds(), time.perf_counter()
+        run_phaser(vcf=vcf, bam=bam, sample="SAMPLE1",
+                   o=os.path.join(td, "out"), mapq="10", baseq=10,
+                   paired_end="1", device="auto", opts=PhaserOptions(),
+                   log=lambda *a: None)
+        wall = time.perf_counter() - t0
+        dev = trace.device_seconds() - d0
+    return {"engine_device_s": dev, "engine_wall_s": wall,
+            "engine_device_fraction": dev / wall if wall > 0 else 0.0}
+
+
 def bench_reference(bd, vt):
     """Reference mapper (interpreted) reads/s on a subset of the stream."""
     from phaser_tpu.io.bam import record_to_sam_line
@@ -258,6 +283,7 @@ def main():
     import jax
     backend = jax.default_backend()
     dev = bench_device(sub, vt)
+    eng = bench_engine_device_fraction()
     ref = bench_reference(first, vt)
 
     result = {
@@ -287,6 +313,9 @@ def main():
             dev["device_plane_e2e_reads_per_s"], 1),
         "device_wave_s": round(dev["device_wave_s"], 3),
         "device_batched_resolve_s": round(dev["device_batched_resolve_s"], 4),
+        "engine_device_fraction": round(eng["engine_device_fraction"], 4),
+        "engine_device_s": round(eng["engine_device_s"], 3),
+        "engine_wall_s": round(eng["engine_wall_s"], 3),
     }
     print(json.dumps(result))
 

@@ -35,7 +35,9 @@ def find_blocks(conn: ContigConnections, vt,
     n_edges = sum(len(nbrs) for nbrs in adj.values())  # 2x undirected count
     blocks: List[List[int]] = []
     if device not in ("host", "off") and n_edges >= _DEVICE_EDGE_GATE:
-        blocks = _device_blocks(adj)
+        from ..utils.trace import device_section
+        with device_section():
+            blocks = _device_blocks(adj)
     if not blocks:
         blocks = _host_blocks(adj)
 

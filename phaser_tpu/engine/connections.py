@@ -198,7 +198,9 @@ def build_connections(vr: VariantReads, noise_e: float,
     # tunnel (see mapper.dispatch docstring), and the host segment-sum path
     # handles small/medium contigs in microseconds
     if P >= 200_000 and device != "host":
-        counts = _device_pair_counts(vr, uniq_pk, len(vt))
+        from ..utils.trace import device_section
+        with device_section():
+            counts = _device_pair_counts(vr, uniq_pk, len(vt))
     if counts is None:
         counts = np.zeros((P, 3, 3), np.int64)
         if P:
@@ -220,8 +222,11 @@ def build_connections(vr: VariantReads, noise_e: float,
     chosen = np.where(config_a > config_b, 0,
                       np.where(config_a < config_b, 1, -1)).astype(np.int8)
 
-    # p-values (scipy host path == reference bit-for-bit; the device path in
-    # kernels.stats computes the same regularized incomplete beta)
+    # p-values: ALWAYS host scipy — variant_connections.txt prints every
+    # pair's p at full float64 precision, so byte parity forces the host
+    # cdf regardless, and the vectorized call costs microseconds at any P.
+    # The device cdf (kernels.stats) runs in the sharded mesh pipeline,
+    # where merged counts never leave HBM (see its module docstring).
     p_value = np.ones(P, np.float64)
     p_value[c_supporting == 0] = 0.0
     do_test = (c_supporting > 0) & (c_total - c_supporting > 0)

@@ -21,6 +21,7 @@ Shapes are bucketed to powers of two to bound XLA recompilation.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -175,8 +176,10 @@ class PendingHits:
         execution is lazy, and any work still queued when the first fetch
         happens runs in the tunnel's slow post-fetch mode."""
         import jax
-        for part in self._dev:
-            jax.block_until_ready(part[0])
+        from ..utils.trace import device_section
+        with device_section():
+            for part in self._dev:
+                jax.block_until_ready(part[0])
 
     def resolve(self, prefetched: Optional[List[np.ndarray]] = None
                 ) -> ContigHits:
@@ -188,7 +191,9 @@ class PendingHits:
             if prefetched is not None:
                 r, v, a, mc, nh = decode_packed_hits(prefetched[k])
             else:
-                r, v, a, mc, nh = fetch_packed_hits(packed)
+                from ..utils.trace import device_section
+                with device_section():
+                    r, v, a, mc, nh = fetch_packed_hits(packed)
             if nh > _cap_feedback.get(fb_key, 0):
                 _cap_feedback[fb_key] = nh
                 _cap_save()
@@ -270,6 +275,8 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
 
     dev_parts = []
     host_parts = []
+    from ..utils.trace import add_device_time
+    _t_dev = time.perf_counter()
     if dev_vidx.size and dev_read.any():
         M = dev_vidx.size
         Mp = _next_pow2(max(M, 8))
@@ -347,6 +354,9 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                 jnp.asarray(codes2), jnp.asarray(quals2),
                 jnp.asarray(refpos2), jv, ji, jn, baseq, cap2)
             dev_parts.append((packed2, cap2, plane_sel, dev_vidx, 0, fb_key))
+    # device-path time: table/read upload prep + launches (async); the
+    # wait/fetch side is accounted in PendingHits.wait / resolve_all
+    add_device_time(time.perf_counter() - _t_dev)
 
     # host remainder 1: insertion reads vs all variants
     hits_map = {}
@@ -416,24 +426,27 @@ def resolve_all(pendings: List) -> List[ContigHits]:
     when there is nothing to batch."""
     import jax
 
+    from ..utils.trace import device_section
+
     parts = []
     for p in pendings:
         if isinstance(p, PendingHits):
             parts.extend(p._dev)
     views: List[np.ndarray] = []
-    if len(parts) > 1:
-        bufs = [pt[0] for pt in parts]
-        for b in bufs:
-            jax.block_until_ready(b)
-        cat = _concat_jit(len(bufs))(*bufs)
-        full = np.asarray(cat)
-        off = 0
-        for b in bufs:
-            w = int(b.shape[1])
-            views.append(full[:, off:off + w])
-            off += w
-    elif len(parts) == 1:
-        views.append(np.asarray(parts[0][0]))
+    with device_section():
+        if len(parts) > 1:
+            bufs = [pt[0] for pt in parts]
+            for b in bufs:
+                jax.block_until_ready(b)
+            cat = _concat_jit(len(bufs))(*bufs)
+            full = np.asarray(cat)
+            off = 0
+            for b in bufs:
+                w = int(b.shape[1])
+                views.append(full[:, off:off + w])
+                off += w
+        elif len(parts) == 1:
+            views.append(np.asarray(parts[0][0]))
 
     out: List[ContigHits] = []
     vi = 0

@@ -14,9 +14,38 @@ from __future__ import annotations
 import contextlib
 import os
 import resource
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
+
+# process-wide device-path time: seconds spent preparing/launching device
+# programs, waiting on them, and fetching their results (mapper.dispatch,
+# engine.connections, engine.blocks all report here). Tracer snapshots this
+# around a run so the summary can state what fraction of wall-clock the
+# device path actually consumed under --device auto — keeping "TPU-first"
+# claims falsifiable on tunnel-bound boxes and real ICI hosts alike.
+_DEVICE_SECONDS = 0.0
+_DEVICE_LOCK = threading.Lock()
+
+
+def add_device_time(seconds: float) -> None:
+    global _DEVICE_SECONDS
+    with _DEVICE_LOCK:
+        _DEVICE_SECONDS += seconds
+
+
+def device_seconds() -> float:
+    return _DEVICE_SECONDS
+
+
+@contextlib.contextmanager
+def device_section():
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        add_device_time(time.perf_counter() - t0)
 
 
 @dataclass
@@ -36,8 +65,12 @@ class Tracer:
     stats: Dict[str, StageStat] = field(default_factory=dict)
     order: List[str] = field(default_factory=list)
     _profiling: bool = False
+    _t0: float = 0.0
+    _dev0: float = 0.0
 
     def __post_init__(self):
+        self._t0 = time.perf_counter()
+        self._dev0 = device_seconds()
         prof_dir = os.environ.get("PHASER_TPU_PROFILE_DIR")
         if prof_dir:
             try:
@@ -70,6 +103,11 @@ class Tracer:
     def peak_rss_mb(self) -> float:
         return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
+    def device_share(self) -> tuple:
+        """(device_path_seconds, wall_seconds) since this tracer started."""
+        return (device_seconds() - self._dev0,
+                time.perf_counter() - self._t0)
+
     def summary_lines(self) -> List[str]:
         out = ["     --- stage timings ---"]
         for name in self.order:
@@ -78,6 +116,9 @@ class Tracer:
             if st.items:
                 line += "  %12d %s (%.0f/s)" % (st.items, st.unit, st.rate)
             out.append(line)
+        dev, wall = self.device_share()
+        out.append("     device path: %.3fs of %.3fs wall (%.1f%%)"
+                   % (dev, wall, 100.0 * dev / wall if wall > 0 else 0.0))
         out.append("     peak RSS: %.1f MB" % self.peak_rss_mb())
         return out
 

@@ -215,10 +215,47 @@ def test_multihost_scaffolding_single_process():
     ind = rng.integers(1, 15, (M, 2)).astype(np.uint8)
     ni = np.full(M, 2, np.int8)
     mesh = make_mesh(8)
-    counts, pair, scores = multihost.run_sharded_step(
+    counts, pair, prune, scores = multihost.run_sharded_step(
         mesh, codes, quals, refpos, vpos, ind, ni, 10)
     assert counts.shape == (M, 3)
+    assert prune.shape == (M, 8)
     assert int(np.asarray(counts).sum()) > 0
+
+
+def test_device_prune_decisions_match_scipy():
+    """kernels.stats.prune_mask: decisions equal scipy's outside the
+    refinement band, and exact-boundary cases are flagged uncertain
+    (reference math phaser.py:1649, pruning :696-707)."""
+    import jax.numpy as jnp
+    from scipy.stats import binom
+    from phaser_tpu.kernels.stats import prune_mask
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    cfg_a = rng.integers(0, 40, n).astype(np.float64)
+    cfg_b = rng.integers(0, 8, n).astype(np.float64)
+    other = rng.integers(0, 6, n).astype(np.float64)
+    noise_e = 0.0037
+    sup = np.maximum(cfg_a, cfg_b)
+    tot = cfg_a + cfg_b + other
+    p_exact = binom.cdf(sup, tot, 1 - (6 * noise_e + 10 * noise_e ** 2))
+    p_exact = np.where(tot - sup > 0, p_exact, 1.0)
+    p_exact = np.where(sup == 0, 0.0, p_exact)
+
+    for thr in (0.01, 0.2,
+                # thresholds straddling an achievable p-value by 1e-9:
+                float(np.median(p_exact[(p_exact > 0) & (p_exact < 1)]))
+                + 1e-9):
+        p, prune, uncertain = prune_mask(
+            jnp.asarray(cfg_a, jnp.float32), jnp.asarray(cfg_b, jnp.float32),
+            jnp.asarray(other, jnp.float32), jnp.float32(noise_e), thr)
+        p, prune, uncertain = map(np.asarray, (p, prune, uncertain))
+        sure = ~uncertain
+        np.testing.assert_array_equal(prune[sure], (p_exact < thr)[sure])
+        # any pair whose exact p is within 1e-7 of the threshold must be
+        # flagged for host refinement, never silently mis-decided
+        near = np.abs(p_exact - thr) < 1e-7
+        assert uncertain[near].all()
 
 
 def test_find_weak_points_matches_naive():
