@@ -144,7 +144,9 @@ def bench_device(bd, vt):
     import jax
     import jax.numpy as jnp
     from phaser_tpu.kernels.alleles import (assign_compact_affine_masked,
-                                            pack_affine_masked)
+                                            assign_compact_affine_nibble,
+                                            pack_affine_masked,
+                                            pack_affine_nibble)
     from phaser_tpu.mapper.dispatch import (_next_pow2, assign_alleles_auto,
                                             resolve_all)
 
@@ -159,24 +161,25 @@ def bench_device(bd, vt):
     ni[:keep.sum()] = vt.n_ind[keep]
     jv, ji, jn = jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni)
 
-    codes, is_aff, a_st, a_lo, a_hi = pack_affine_masked(bd, 10, reuse=True)
+    codes, is_aff, a_st, a_lo, a_hi = pack_affine_nibble(bd, 10, reuse=True)
     t0 = time.perf_counter()
     for _ in range(3):
-        codes, is_aff, a_st, a_lo, a_hi = pack_affine_masked(bd, 10,
+        codes, is_aff, a_st, a_lo, a_hi = pack_affine_nibble(bd, 10,
                                                              reuse=True)
     t_pack = (time.perf_counter() - t0) / 3
 
     stk = np.where(is_aff, a_st, 0).astype(np.int32)
     lok = np.where(is_aff, a_lo, 0).astype(np.int32)
     hik = np.where(is_aff, a_hi, 0).astype(np.int32)
-    cap = _next_pow2(max(codes.size // 32, 8192))
+    cap = _next_pow2(max(2 * codes.size // 32, 8192))
     jc = jnp.asarray(codes)
     js, jl, jh = jnp.asarray(stk), jnp.asarray(lok), jnp.asarray(hik)
 
     def step():
-        return assign_compact_affine_masked(jc, js, jl, jh, jv, ji, jn, cap)
+        return assign_compact_affine_nibble(jc, js, jl, jh, jv, ji, jn, cap)
 
-    # kernel timing in pre-fetch (pipelined-dispatch) mode
+    # kernel timing in pre-fetch (pipelined-dispatch) mode; nibble plane
+    # (2 bases/byte) is the production affine path
     pk = step()
     jax.block_until_ready(pk)
     t0 = time.perf_counter()
@@ -186,6 +189,17 @@ def bench_device(bd, vt):
     t_dev = (time.perf_counter() - t0) / 10
     n_reads = codes.shape[0]
     kernel_rps = n_reads / (t_dev + t_pack)
+
+    # masked 1-byte plane comparison (the pre-nibble device format)
+    mcodes = pack_affine_masked(bd, 10, reuse=False)[0]
+    jm = jnp.asarray(mcodes)
+    pm = assign_compact_affine_masked(jm, js, jl, jh, jv, ji, jn, cap)
+    jax.block_until_ready(pm)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        pm = assign_compact_affine_masked(jm, js, jl, jh, jv, ji, jn, cap)
+    jax.block_until_ready(pm)
+    t_dev_masked = (time.perf_counter() - t0) / 10
 
     # flip the tunnel into per-op dispatch mode NOW (one tiny fetch) so the
     # wave/resolve loop below measures the steady state, not the one-time
@@ -214,6 +228,7 @@ def bench_device(bd, vt):
     plane_e2e = (csize * n_chunks) / (t_wave + t_resolve)
     return {"device_kernel_reads_per_s": kernel_rps,
             "device_pack_s": t_pack, "device_step_s": t_dev,
+            "device_step_masked_s": t_dev_masked,
             "device_flip_s": t_flip,
             "device_plane_e2e_reads_per_s": plane_e2e,
             "device_wave_s": t_wave, "device_batched_resolve_s": t_resolve,
@@ -309,6 +324,7 @@ def main():
         "device_kernel_reads_per_s": round(dev["device_kernel_reads_per_s"], 1),
         "device_pack_s": round(dev["device_pack_s"], 4),
         "device_step_s": round(dev["device_step_s"], 5),
+        "device_step_masked_s": round(dev["device_step_masked_s"], 5),
         "device_plane_e2e_reads_per_s": round(
             dev["device_plane_e2e_reads_per_s"], 1),
         "device_wave_s": round(dev["device_wave_s"], 3),

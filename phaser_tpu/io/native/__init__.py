@@ -135,5 +135,10 @@ def get_lib():
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_void_p, c.c_void_p, c.c_int, c.c_int64, c.c_void_p,
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
+        lib.pack_affine_nibble_native.restype = None
+        lib.pack_affine_nibble_native.argtypes = [
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_int, c.c_int64, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
         _lib = lib
     return _lib

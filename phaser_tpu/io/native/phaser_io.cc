@@ -685,6 +685,76 @@ void pack_affine_masked_native(
   for (auto& th : threads) th.join();
 }
 
+// nibble-packed variant of pack_affine_masked_native: TWO bases per output
+// byte (even base in the low nibble, odd base in the high nibble), halving
+// the host->device upload that dominates the tunnel-bound device path.
+// Output plane is (n, Lh) with Lh = L/2; pad nibbles are 15 (0xFF bytes).
+void pack_affine_nibble_native(
+    int64_t n, const int32_t* pos, const uint32_t* cigar,
+    const int64_t* cigar_off, const uint8_t* seq, const uint8_t* qual,
+    const int64_t* seq_off, int baseq, int64_t Lh, uint8_t* ncodes,
+    uint8_t* is_affine, int32_t* start, int32_t* lo, int32_t* hi,
+    int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (int64_t i = t; i < n; i += n_threads) {
+        int64_t so = seq_off[i];
+        int64_t slen = seq_off[i + 1] - so;
+        if (slen > 2 * Lh) slen = 2 * Lh;
+        uint8_t* out = ncodes + i * Lh;
+        const uint8_t* sq = seq + so;
+        const uint8_t* qu = qual + so;
+        const uint8_t bq = (uint8_t)baseq;
+        int64_t pairs = slen / 2;
+        for (int64_t j = 0; j < pairs; j++) {
+          uint8_t bad0 = (uint8_t)-(qu[2 * j] < bq);
+          uint8_t bad1 = (uint8_t)-(qu[2 * j + 1] < bq);
+          uint8_t m0 = (uint8_t)(((sq[2 * j] & 0xF) & ~bad0) | (15 & bad0));
+          uint8_t m1 =
+              (uint8_t)(((sq[2 * j + 1] & 0xF) & ~bad1) | (15 & bad1));
+          out[j] = (uint8_t)(m0 | (m1 << 4));
+        }
+        if (slen & 1) {
+          uint8_t bad0 = (uint8_t)-(qu[slen - 1] < bq);
+          uint8_t m0 =
+              (uint8_t)(((sq[slen - 1] & 0xF) & ~bad0) | (15 & bad0));
+          out[pairs] = (uint8_t)(m0 | 0xF0);  // odd tail: high nibble = pad
+          pairs++;
+        }
+        memset(out + pairs, 0xFF, Lh - pairs);  // pad = masked (never a hit)
+
+        bool bad = false;
+        int64_t first_m = -1, last_m = -1, n_m = 0;
+        int64_t lead_s = 0, m_total = 0;
+        for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
+          uint32_t opc = cigar[c] & 0xF;
+          int64_t len = cigar[c] >> 4;
+          int64_t w = c - cigar_off[i];
+          bool m_type = (opc == 0 || opc == 7 || opc == 8);
+          if (m_type) {
+            if (first_m < 0) first_m = w;
+            last_m = w;
+            n_m++;
+            m_total += len;
+          } else if (opc == 4) {
+            if (first_m < 0) lead_s += len;
+          } else if (opc != 5) {
+            bad = true;
+          }
+        }
+        bool affine = !bad && n_m >= 1 && (last_m - first_m + 1 == n_m);
+        is_affine[i] = affine ? 1 : 0;
+        start[i] = pos[i] + 1;
+        lo[i] = (int32_t)lead_s;
+        hi[i] = (int32_t)(lead_s + m_total);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 // codes/quals packing fused with affine CIGAR classification: one pass
 // emits the planes plus per-read (is_affine, start, lo, hi) for the
 // device-side refpos reconstruction (mapper.dispatch._affine_params

@@ -248,6 +248,73 @@ def assign_compact_affine_masked(mcodes: jax.Array, start: jax.Array,
     return _pack_hits(vidx, allele, mcodes, capacity)
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def assign_compact_affine_nibble(ncodes: jax.Array, start: jax.Array,
+                                 lo: jax.Array, hi: jax.Array,
+                                 vpos: jax.Array, ind_codes: jax.Array,
+                                 n_ind: jax.Array,
+                                 capacity: int) -> jax.Array:
+    """Affine assign + packing from the NIBBLE-packed masked plane — two
+    bases per byte (even base in the low nibble), HALF the host->device
+    traffic of the 1-byte masked form. Unpack is two VPU ops (mask, shift)
+    plus an interleave that XLA fuses into the classification."""
+    N, Lh = ncodes.shape
+    lo_nib = (ncodes & jnp.uint8(0xF))
+    hi_nib = (ncodes >> 4)
+    mcodes = jnp.stack([lo_nib, hi_nib], axis=-1).reshape(N, 2 * Lh)
+    i = jnp.arange(2 * Lh, dtype=jnp.int32)[None, :]
+    aligned = (i >= lo[:, None]) & (i < hi[:, None])
+    refpos = jnp.where(aligned, start[:, None] + (i - lo[:, None]),
+                       jnp.int32(0))
+    vidx, allele = _classify_masked(mcodes, refpos, vpos, ind_codes, n_ind)
+    return _pack_hits(vidx, allele, mcodes, capacity)
+
+
+def pack_affine_nibble(bd, baseq: int, max_len: int = 0,
+                       reuse: bool = False):
+    """One-pass native nibble-packed masked-plane packing + affine
+    classification: (n, L/2) uint8 plane with two masked base nibbles per
+    byte. Returns (ncodes, is_affine, start, lo, hi) or None without the
+    native library."""
+    n = len(bd)
+    lens = np.diff(bd.seq_off)
+    L = int(max(max_len, lens.max() if n else 1))
+    L = ((L + 127) // 128) * 128
+    from ..io import native as native_mod
+    lib = native_mod.get_lib() if n else None
+    if lib is None or not hasattr(lib, "pack_affine_nibble_native"):
+        return None
+    # Lh is a multiple of 64, not 128: the upload is of the packed host
+    # buffer (Lh bytes/read — THE point of this path); any sub-lane padding
+    # happens on device after the transfer
+    Lh = L // 2
+    if reuse:
+        ncodes = _reuse_buf("ncodes", n, Lh, np.uint8)
+    else:
+        ncodes = np.empty((n, Lh), np.uint8)
+    is_aff = np.empty(n, np.uint8)
+    start = np.empty(n, np.int32)
+    lo = np.empty(n, np.int32)
+    hi = np.empty(n, np.int32)
+    import ctypes
+    import os as _os
+    ptr = ctypes.c_void_p
+    pos = np.ascontiguousarray(bd.pos, np.int32)
+    cig = np.ascontiguousarray(bd.cigar_flat, np.uint32)
+    coff = np.ascontiguousarray(bd.cigar_off, np.int64)
+    seq = np.ascontiguousarray(bd.seq_flat, np.uint8)
+    qual = np.ascontiguousarray(bd.qual_flat, np.uint8)
+    soff = np.ascontiguousarray(bd.seq_off, np.int64)
+    lib.pack_affine_nibble_native(
+        n, pos.ctypes.data_as(ptr), cig.ctypes.data_as(ptr),
+        coff.ctypes.data_as(ptr), seq.ctypes.data_as(ptr),
+        qual.ctypes.data_as(ptr), soff.ctypes.data_as(ptr), baseq, Lh,
+        ncodes.ctypes.data_as(ptr), is_aff.ctypes.data_as(ptr),
+        start.ctypes.data_as(ptr), lo.ctypes.data_as(ptr),
+        hi.ctypes.data_as(ptr), min(_os.cpu_count() or 1, 8))
+    return ncodes, is_aff.astype(bool), start, lo, hi
+
+
 def pack_affine_masked(bd, baseq: int, max_len: int = 0,
                        reuse: bool = False):
     """One-pass native masked-plane packing + affine classification.
@@ -464,15 +531,187 @@ def _alleles_pallas_kernel(vpos_ref, a0_ref, a1_ref, ni_ref,
     allele_out[...] = allele.astype(jnp.int32)
 
 
+_WIN = 256  # table window entries per read block (two 128-lane vregs)
+
+
+def _alleles_pallas_windowed_kernel(ws_ref, vpos_hbm, a0_hbm, a1_hbm,
+                                    ni_hbm, codes_ref, quals_ref, refpos_ref,
+                                    vidx_out, allele_out,
+                                    vwin, a0w, a1w, niw, sems,
+                                    *, baseq: int):
+    """Windowed-table body: the 256-entry slice of the variant table that
+    this read block can touch is DMA'd HBM->VMEM at a per-block offset taken
+    from the scalar-prefetch array, then binary-searched entirely in VMEM.
+
+    Mosaic's lane gather (dynamic_gather) only spans ONE 128-lane vreg, so
+    the 256-entry window is addressed through a two-half select-gather and
+    the read plane is processed in 128-column slabs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    w0 = pl.multiple_of(ws_ref[b], 128)  # wrapper 128-aligns the offsets
+    dmas = []
+    for k, (src, dst) in enumerate(((vpos_hbm, vwin), (a0_hbm, a0w),
+                                    (a1_hbm, a1w), (ni_hbm, niw))):
+        d = pltpu.make_async_copy(src.at[0, pl.ds(w0, _WIN)], dst.at[0, :],
+                                  sems.at[k])
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
+
+    R = refpos_ref.shape[0]
+    L = refpos_ref.shape[1]
+    halves = {}
+
+    def lookup(table_ref, idx):
+        """Gather table_ref[0, idx] for idx (R, 128) in [0, 256)."""
+        key = id(table_ref)
+        if key not in halves:
+            halves[key] = (
+                jnp.broadcast_to(table_ref[0:1, 0:128], (R, 128)),
+                jnp.broadcast_to(table_ref[0:1, 128:256], (R, 128)))
+        blo, bhi = halves[key]
+        sel = idx >= 128
+        i2 = jnp.minimum(jnp.where(sel, idx - 128, idx), 127)
+        op = jnp.where(sel, bhi, blo)
+        return jnp.take_along_axis(op, i2, axis=1)
+
+    for s in range(L // 128):
+        sl = slice(s * 128, (s + 1) * 128)
+        codes = codes_ref[:, sl]
+        quals = quals_ref[:, sl]
+        refpos = refpos_ref[:, sl]
+        masked = jnp.where(quals >= baseq, codes, jnp.int32(15))
+
+        # binary search over the 256-entry window: lo = last idx with
+        # value < refpos (or 0), candidate = lo or lo+1
+        lo = jnp.zeros((R, 128), jnp.int32)
+        step = _WIN
+        for _ in range(8):  # log2(256)
+            step = step // 2
+            mid = lo + step
+            midv = lookup(vwin, jnp.minimum(mid, _WIN - 1))
+            lo = jnp.where(midv < refpos, mid, lo)
+        lov = lookup(vwin, lo)
+        cand = jnp.minimum(jnp.where(lov >= refpos, lo, lo + 1), _WIN - 1)
+        cv = lookup(vwin, cand)
+        hit = (refpos > 0) & (cv == refpos) & (masked != 15)
+        a0 = lookup(a0w, cand)
+        a1 = lookup(a1w, cand)
+        ni = lookup(niw, cand)
+        allele = jnp.where((masked == a0) & (ni > 0), 0,
+                           jnp.where((masked == a1) & (ni > 1), 1, OTHER))
+        allele = jnp.where(hit, allele, NO_HIT)
+        vidx_out[:, sl] = jnp.where(hit, w0 + cand, -1).astype(jnp.int32)
+        allele_out[:, sl] = allele.astype(jnp.int32)
+
+
+def assign_alleles_pallas_windowed(codes, quals, refpos, vpos, ind_codes,
+                                   n_ind, baseq: int, block_rows: int = 256,
+                                   interpret: bool = False):
+    """Whole-contig-table Pallas kernel: scalar-prefetch windowed table.
+
+    Reads are coordinate-sorted, so each block of `block_rows` reads touches
+    only a narrow band of the (sorted) variant table.  The wrapper computes
+    a per-block 128-aligned window offset host-side; the kernel DMAs the
+    W-wide table window into VMEM and binary-searches it there — log2(W)
+    VMEM gathers instead of log2(M) HBM gathers, independent of contig-table
+    width M.  Falls back to the XLA kernel when any block's variant band
+    exceeds the window (sparse coverage spanning >W variants per block —
+    checked exactly, host-side).
+
+    Same outputs as assign_alleles_device; `interpret` runs the Mosaic
+    interpreter for CPU-backed tests.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, L = codes.shape
+    M = int(vpos.shape[0])
+    if N == 0 or M == 0 or L % 128 != 0:
+        return assign_alleles_device(codes, quals, refpos, vpos, ind_codes,
+                                     n_ind, baseq)
+    W = _WIN
+    R = min(block_rows, max(N, 1))
+
+    # host-side window planning (numpy; one sync if inputs are device arrays)
+    rp = np.asarray(refpos)
+    vp = np.asarray(vpos)
+    n_blocks = -(-N // R)
+    pad_rows = n_blocks * R - N
+    rp_b = rp.reshape(-1) if pad_rows == 0 else np.pad(
+        rp, ((0, pad_rows), (0, 0))).reshape(-1)
+    rp_b = rp_b.reshape(n_blocks, R * L)
+    rp_pos = np.where(rp_b > 0, rp_b, np.iinfo(np.int32).max)
+    pmin = rp_pos.min(axis=1)
+    pmax = rp_b.max(axis=1)
+    lo_idx = np.searchsorted(vp, pmin, side="left")
+    hi_idx = np.searchsorted(vp, pmax, side="right")
+    ws = np.minimum(lo_idx & ~np.int64(127), max(M - 1, 0))
+    if np.any(hi_idx - ws > W):
+        # a block spans more than W table entries: XLA path handles it
+        return assign_alleles_device(codes, quals, refpos, vpos, ind_codes,
+                                     n_ind, baseq)
+    ws = ws.astype(np.int32)
+
+    # pad table so every window [ws, ws+W) is in range, reads to (nB*R, W)
+    Mp = ((M + 127) // 128) * 128 + W
+    sent = np.iinfo(np.int32).max
+    vpos_p = jnp.concatenate([vpos.astype(jnp.int32),
+                              jnp.full(Mp - M, sent, jnp.int32)])[None, :]
+    a0_p = jnp.concatenate([ind_codes[:, 0].astype(jnp.int32),
+                            jnp.zeros(Mp - M, jnp.int32)])[None, :]
+    a1_p = jnp.concatenate([ind_codes[:, 1].astype(jnp.int32),
+                            jnp.zeros(Mp - M, jnp.int32)])[None, :]
+    ni_p = jnp.concatenate([n_ind.astype(jnp.int32),
+                            jnp.zeros(Mp - M, jnp.int32)])[None, :]
+
+    def pad_plane(x, fill):
+        x = x.astype(jnp.int32)
+        if pad_rows:
+            x = jnp.pad(x, ((0, pad_rows), (0, 0)), constant_values=fill)
+        return x
+
+    codes_p = pad_plane(codes, 15)
+    quals_p = pad_plane(quals, 0)
+    refpos_p = pad_plane(refpos, 0)
+    NB = n_blocks * R
+
+    kernel = functools.partial(_alleles_pallas_windowed_kernel, baseq=baseq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 +
+                 [pl.BlockSpec((R, L), lambda i, w: (i, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec((R, L), lambda i, w: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((R, L), lambda i, w: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((1, W), jnp.int32)] * 4 +
+                       [pltpu.SemaphoreType.DMA((4,))],
+    )
+    vidx, allele = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((NB, L), jnp.int32),
+                   jax.ShapeDtypeStruct((NB, L), jnp.int32)),
+        interpret=interpret,
+    )(jnp.asarray(ws), vpos_p, a0_p, a1_p, ni_p,
+      codes_p, quals_p, refpos_p)
+    return vidx[:N], allele[:N]
+
+
 def assign_alleles_pallas(codes, quals, refpos, vpos, ind_codes, n_ind,
                           baseq: int, block_rows: int = 256):
     """Pallas TPU version of assign_alleles_device (same outputs).
 
     Mosaic's vector gather requires index shape == operand shape, so the
     VMEM-resident table is padded to the read length L; tables wider than L
-    (whole-contig tables) fall back to the jnp/XLA kernel, which is already
-    memory-bound on TPU. (A scalar-prefetch windowed variant that slides an
-    L-wide table window per read block is the planned lift — ROADMAP.)
+    (whole-contig tables) are handled by assign_alleles_pallas_windowed,
+    which slides a VMEM window over the table per read block.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -483,8 +722,9 @@ def assign_alleles_pallas(codes, quals, refpos, vpos, ind_codes, n_ind,
     while m_pow2 < M:
         m_pow2 *= 2
     if m_pow2 > L:
-        return assign_alleles_device(codes, quals, refpos, vpos, ind_codes,
-                                     n_ind, baseq)
+        return assign_alleles_pallas_windowed(codes, quals, refpos, vpos,
+                                              ind_codes, n_ind, baseq,
+                                              block_rows=block_rows)
     m_pow2 = L  # pad table width to L for shape-matched gathers
     # pad variant table to pow2 with sentinel
     pad = m_pow2 - M if m_pow2 > M else 0

@@ -289,20 +289,29 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
         jv, ji, jn = jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni)
 
         from ..kernels.alleles import (assign_compact_affine_masked,
-                                       pack_affine_masked)
-        fused_pack = pack_affine_masked(bd, baseq, reuse=reuse)
-        if fused_pack is not None:
-            mcodes, is_aff, a_start, a_lo, a_hi = fused_pack
+                                       assign_compact_affine_nibble,
+                                       pack_affine_masked, pack_affine_nibble)
+        nibble = pack_affine_nibble(bd, baseq, reuse=reuse)
+        if nibble is not None:
+            # nibble-packed plane: 2 bases/byte — half the upload of the
+            # masked plane on the bandwidth-bound tunnel link
+            mcodes, is_aff, a_start, a_lo, a_hi = nibble
+            pad_val, kind, kern = 0xFF, "affine_nib", assign_compact_affine_nibble
         else:
-            is_aff, a_start, a_lo, a_hi = _affine_params(bd)
-            mcodes = None
+            fused_pack = pack_affine_masked(bd, baseq, reuse=reuse)
+            if fused_pack is not None:
+                mcodes, is_aff, a_start, a_lo, a_hi = fused_pack
+            else:
+                is_aff, a_start, a_lo, a_hi = _affine_params(bd)
+                mcodes = None
+            pad_val, kind, kern = 15, "affine", assign_compact_affine_masked
         aff = dev_read & is_aff
 
         if aff.any():
-            # affine fast path: ONE masked byte/base (BASEQ pre-applied);
-            # refpos reconstructed on device. Launched in <=_SUB_ROWS
-            # sub-batches so compile buckets are fixed-size (compiled once
-            # ever, persisted) and each packed result stays small.
+            # affine fast path: masked plane (BASEQ pre-applied) with refpos
+            # reconstructed on device. Launched in <=_SUB_ROWS sub-batches
+            # so compile buckets are fixed-size (compiled once ever,
+            # persisted) and each packed result stays small.
             if mcodes is None:
                 codes, quals = pack_codes_quals(bd, reuse=reuse)
                 mcodes = np.where(quals >= baseq, codes,
@@ -321,17 +330,17 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                 ss, ls, hs = st_k[s:e], lo_k[s:e], hi_k[s:e]
                 if Np != n_sub:
                     cs = np.pad(cs, ((0, Np - n_sub), (0, 0)),
-                                constant_values=15)
+                                constant_values=pad_val)
                     ss, ls, hs = (np.pad(x, (0, Np - n_sub))
                                   for x in (ss, ls, hs))
-                fb_key = ("affine", Np, L)
+                fb_key = (kind, Np, L)
                 cap = _adaptive_cap(fb_key, Np * L)
                 jc = jnp.asarray(cs)
                 if reuse:
                     # the scratch plane is rewritten by the next chunk's
                     # pack; wait for the copy to complete
                     jax.block_until_ready(jc)
-                packed = assign_compact_affine_masked(
+                packed = kern(
                     jc, jnp.asarray(ss), jnp.asarray(ls), jnp.asarray(hs),
                     jv, ji, jn, cap)
                 dev_parts.append((packed, cap, None, dev_vidx, s, fb_key))

@@ -427,3 +427,132 @@ def test_pack_affine_masked_matches_two_plane(tmp_path):
     np.testing.assert_array_equal(st, st2)
     np.testing.assert_array_equal(lo, lo2)
     np.testing.assert_array_equal(hi, hi2)
+
+
+def test_pack_affine_nibble_matches_masked(tmp_path):
+    """Nibble plane (2 bases/byte) unpacks to exactly the masked plane,
+    including odd read lengths (high-nibble pad on the tail byte) and
+    low-qual masking; affine classification fields identical."""
+    from phaser_tpu.kernels.alleles import (pack_affine_masked,
+                                            pack_affine_nibble)
+
+    data = datagen.generate(seed=23, contigs=("chr1",), contig_len=80000,
+                            n_variants_per_contig=40, n_reads_per_contig=300,
+                            read_len=71,  # odd: exercises the tail nibble
+                            frac_spliced=0.3, frac_indel_reads=0.15,
+                            frac_softclip=0.25)
+    p = str(tmp_path / "x.bam")
+    data.write_bam(p)
+    bd = bamio.read_bam(p)
+    nb = pack_affine_nibble(bd, 13)
+    assert nb is not None, "native library required in this environment"
+    ncodes, ia, st, lo, hi = nb
+    mcodes, ia2, st2, lo2, hi2 = pack_affine_masked(bd, 13)
+    N, Lh = ncodes.shape
+    unp = np.stack([ncodes & 0xF, ncodes >> 4], axis=-1).reshape(N, 2 * Lh)
+    Lm = mcodes.shape[1]
+    W = min(Lm, 2 * Lh)
+    np.testing.assert_array_equal(unp[:, :W], mcodes[:, :W])
+    assert np.all(unp[:, W:] == 15)
+    assert np.all(mcodes[:, W:] == 15)
+    np.testing.assert_array_equal(ia, ia2)
+    np.testing.assert_array_equal(st, st2)
+    np.testing.assert_array_equal(lo, lo2)
+    np.testing.assert_array_equal(hi, hi2)
+
+
+def test_nibble_kernel_matches_masked_kernel(tmp_path):
+    """Fused nibble device kernel produces the identical packed-hit buffer
+    as the masked-plane kernel on the same reads."""
+    import jax.numpy as jnp
+    from phaser_tpu.kernels.alleles import (assign_compact_affine_masked,
+                                            assign_compact_affine_nibble,
+                                            decode_packed_hits,
+                                            pack_affine_masked,
+                                            pack_affine_nibble)
+
+    chunk, vt = _fixture(tmp_path, seed=11, n_reads_per_contig=400)
+    nb = pack_affine_nibble(chunk, 10)
+    mk = pack_affine_masked(chunk, 10)
+    assert nb is not None and mk is not None
+    ncodes, ia, st, lo, hi = nb
+    mcodes = mk[0]
+    stk = np.where(ia, st, 0).astype(np.int32)
+    lok = np.where(ia, lo, 0).astype(np.int32)
+    hik = np.where(ia, hi, 0).astype(np.int32)
+    vpos = jnp.asarray(vt.pos.astype(np.int32))
+    ind = jnp.asarray(vt.ind_codes)
+    ni = jnp.asarray(vt.n_ind)
+    cap = 1 << 14
+    pn = assign_compact_affine_nibble(
+        jnp.asarray(ncodes), jnp.asarray(stk), jnp.asarray(lok),
+        jnp.asarray(hik), vpos, ind, ni, cap)
+    pm = assign_compact_affine_masked(
+        jnp.asarray(mcodes), jnp.asarray(stk), jnp.asarray(lok),
+        jnp.asarray(hik), vpos, ind, ni, cap)
+    rn, vn, an, mn, nn = decode_packed_hits(np.asarray(pn))
+    rm, vm, am, mm, nm = decode_packed_hits(np.asarray(pm))
+    assert nn == nm and nn > 20
+    np.testing.assert_array_equal(rn, rm)
+    np.testing.assert_array_equal(vn, vm)
+    np.testing.assert_array_equal(an, am)
+    np.testing.assert_array_equal(mn, mm)
+
+
+def test_pallas_windowed_interpret_matches_device():
+    """Windowed-table Pallas kernel (whole-contig table >> read length) ==
+    XLA kernel, via the Mosaic interpreter on CPU."""
+    import jax.numpy as jnp
+    from phaser_tpu.kernels.alleles import (assign_alleles_device,
+                                            assign_alleles_pallas_windowed)
+
+    rng = np.random.default_rng(5)
+    M = 4000                      # whole-contig-scale table; W == 256 << M
+    vpos = np.sort(rng.choice(np.arange(1, 3_000_000, dtype=np.int32),
+                              size=M, replace=False)).astype(np.int32)
+    ind = rng.integers(1, 9, size=(M, 2)).astype(np.uint8)
+    ni = np.full(M, 2, np.int8)
+    N, L = 700, 128
+    starts = np.sort(rng.integers(1, 2_900_000, size=N)).astype(np.int32)
+    refpos = starts[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    refpos[rng.random((N, L)) < 0.05] = 0          # unaligned holes
+    codes = rng.integers(1, 16, size=(N, L)).astype(np.uint8)
+    quals = rng.integers(0, 40, size=(N, L)).astype(np.uint8)
+
+    jc, jq, jr = jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos)
+    jv, ji, jn = jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni)
+    want_v, want_a = assign_alleles_device(jc, jq, jr, jv, ji, jn, 10)
+    got_v, got_a = assign_alleles_pallas_windowed(jc, jq, jr, jv, ji, jn, 10,
+                                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+    # sanity: the scenario produced real hits through the windowed path
+    assert int((np.asarray(want_v) >= 0).sum()) > 50
+
+
+def test_pallas_windowed_band_overflow_falls_back():
+    """A read block spanning more table entries than the window must take
+    the exact XLA fallback (same results by construction)."""
+    import jax.numpy as jnp
+    from phaser_tpu.kernels.alleles import (assign_alleles_device,
+                                            assign_alleles_pallas_windowed)
+
+    rng = np.random.default_rng(6)
+    M = 2000
+    vpos = np.arange(1, M + 1, dtype=np.int32) * 7
+    ind = rng.integers(1, 9, size=(M, 2)).astype(np.uint8)
+    ni = np.full(M, 2, np.int8)
+    N, L = 300, 128
+    # reads scattered across the whole span: one 256-row block covers far
+    # more than W table entries
+    starts = np.sort(rng.integers(1, M * 7 - L, size=N)).astype(np.int32)
+    refpos = starts[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    codes = rng.integers(1, 16, size=(N, L)).astype(np.uint8)
+    quals = np.full((N, L), 30, np.uint8)
+    jc, jq, jr = jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos)
+    jv, ji, jn = jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni)
+    want_v, want_a = assign_alleles_device(jc, jq, jr, jv, ji, jn, 10)
+    got_v, got_a = assign_alleles_pallas_windowed(jc, jq, jr, jv, ji, jn, 10,
+                                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
