@@ -9,9 +9,12 @@ position vector plus per-variant individual allele codes.  The kernel is a
 fused mask -> vectorized binary search -> gather-compare -> stream-compaction,
 all VPU work with no data-dependent shapes (hit capacity is static).
 
-A Pallas TPU kernel implements the same math tile-by-tile with the variant
-table resident in VMEM; the jnp path is the portable reference and the
-autodiff-free default on CPU.
+On TPU the production classifier is the WINDOWED Pallas kernel
+(assign_compact_affine_nibble_windowed): per-block table windows DMA'd
+HBM->VMEM and binary-searched there, slope-measured ~5.7x the XLA
+searchsorted kernel's true execution at whole-contig table widths
+(ARCHITECTURE.md, "The Pallas question").  The jnp/XLA kernels remain the
+CPU path and the exact fallback (band overflow, non-nibble formats).
 """
 
 from __future__ import annotations
@@ -554,10 +557,15 @@ def _alleles_pallas_windowed_kernel(ws_ref, vpos_hbm, a0_hbm, a1_hbm,
     dmas = []
     for k, (src, dst) in enumerate(((vpos_hbm, vwin), (a0_hbm, a0w),
                                     (a1_hbm, a1w), (ni_hbm, niw))):
-        d = pltpu.make_async_copy(src.at[0, pl.ds(w0, _WIN)], dst.at[0, :],
-                                  sems.at[k])
-        d.start()
-        dmas.append(d)
+        # window halves land in separate SUBLANE rows of a (2, 128) scratch:
+        # Mosaic mis-lowers lane-offset VMEM slices ([0:1, 128:256]) under
+        # the gather that follows, sublane slices ([1:2, :]) are exact
+        for h in range(2):
+            d = pltpu.make_async_copy(
+                src.at[0, pl.ds(w0 + h * 128, 128)], dst.at[h, :],
+                sems.at[2 * k + h])
+            d.start()
+            dmas.append(d)
     for d in dmas:
         d.wait()
 
@@ -566,17 +574,22 @@ def _alleles_pallas_windowed_kernel(ws_ref, vpos_hbm, a0_hbm, a1_hbm,
     halves = {}
 
     def lookup(table_ref, idx):
-        """Gather table_ref[0, idx] for idx (R, 128) in [0, 256)."""
+        """Gather table_ref.flat[idx] for idx (R, 128) in [0, 256).
+
+        Gathers BOTH halves and selects the results afterwards: gathering
+        from a where-combined operand (`take_along_axis(where(sel, bhi,
+        blo), i2)`) silently miscompiles on real TPUs (hardware-verified;
+        each primitive alone is fine), while gather-then-select is exact."""
         key = id(table_ref)
         if key not in halves:
             halves[key] = (
-                jnp.broadcast_to(table_ref[0:1, 0:128], (R, 128)),
-                jnp.broadcast_to(table_ref[0:1, 128:256], (R, 128)))
+                jnp.broadcast_to(table_ref[0:1, :], (R, 128)),
+                jnp.broadcast_to(table_ref[1:2, :], (R, 128)))
         blo, bhi = halves[key]
         sel = idx >= 128
-        i2 = jnp.minimum(jnp.where(sel, idx - 128, idx), 127)
-        op = jnp.where(sel, bhi, blo)
-        return jnp.take_along_axis(op, i2, axis=1)
+        vlo = jnp.take_along_axis(blo, jnp.minimum(idx, 127), axis=1)
+        vhi = jnp.take_along_axis(bhi, jnp.clip(idx - 128, 0, 127), axis=1)
+        return jnp.where(sel, vhi, vlo)
 
     for s in range(L // 128):
         sl = slice(s * 128, (s + 1) * 128)
@@ -608,9 +621,67 @@ def _alleles_pallas_windowed_kernel(ws_ref, vpos_hbm, a0_hbm, a1_hbm,
         allele_out[:, sl] = allele.astype(jnp.int32)
 
 
+def _alleles_pallas_cmp_kernel(ws_ref, vpos_hbm, a0_hbm, a1_hbm,
+                               ni_hbm, codes_ref, quals_ref, refpos_ref,
+                               vidx_out, allele_out,
+                               vwin, a0w, a1w, niw, sems,
+                               *, baseq: int):
+    """Gather-FREE windowed body: instead of binary-searching the window,
+    compare every one of its 256 entries against the slab and accumulate
+    matches with selects.  All broadcast-compare VPU work — no
+    dynamic_gather (which Mosaic lowers serially and occasionally
+    miscompiles), and statically unrolled so every table access is a
+    constant-index scalar load."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    w0 = pl.multiple_of(ws_ref[b], 128)
+    dmas = []
+    for k, (src, dst) in enumerate(((vpos_hbm, vwin), (a0_hbm, a0w),
+                                    (a1_hbm, a1w), (ni_hbm, niw))):
+        for h in range(2):
+            d = pltpu.make_async_copy(
+                src.at[0, pl.ds(w0 + h * 128, 128)], dst.at[h, :],
+                sems.at[2 * k + h])
+            d.start()
+            dmas.append(d)
+    for d in dmas:
+        d.wait()
+
+    R = refpos_ref.shape[0]
+    L = refpos_ref.shape[1]
+    for s in range(L // 128):
+        sl = slice(s * 128, (s + 1) * 128)
+        codes = codes_ref[:, sl]
+        quals = quals_ref[:, sl]
+        refpos = refpos_ref[:, sl]
+        masked = jnp.where(quals >= baseq, codes, jnp.int32(15))
+
+        vidx = jnp.full((R, 128), -1, jnp.int32)
+        a0m = jnp.zeros((R, 128), jnp.int32)
+        a1m = jnp.zeros((R, 128), jnp.int32)
+        nim = jnp.zeros((R, 128), jnp.int32)
+        for k in range(_WIN):
+            vk = vwin[k // 128, k % 128]
+            eq = refpos == vk
+            vidx = jnp.where(eq, w0 + k, vidx)
+            a0m = jnp.where(eq, a0w[k // 128, k % 128], a0m)
+            a1m = jnp.where(eq, a1w[k // 128, k % 128], a1m)
+            nim = jnp.where(eq, niw[k // 128, k % 128], nim)
+        hit = (refpos > 0) & (vidx >= 0) & (masked != 15)
+        allele = jnp.where((masked == a0m) & (nim > 0), 0,
+                           jnp.where((masked == a1m) & (nim > 1), 1, OTHER))
+        allele = jnp.where(hit, allele, NO_HIT)
+        vidx_out[:, sl] = jnp.where(hit, vidx, -1).astype(jnp.int32)
+        allele_out[:, sl] = allele.astype(jnp.int32)
+
+
 def assign_alleles_pallas_windowed(codes, quals, refpos, vpos, ind_codes,
                                    n_ind, baseq: int, block_rows: int = 256,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   refpos_host=None, vpos_host=None,
+                                   algo: str = "gather"):
     """Whole-contig-table Pallas kernel: scalar-prefetch windowed table.
 
     Reads are coordinate-sorted, so each block of `block_rows` reads touches
@@ -636,9 +707,10 @@ def assign_alleles_pallas_windowed(codes, quals, refpos, vpos, ind_codes,
     W = _WIN
     R = min(block_rows, max(N, 1))
 
-    # host-side window planning (numpy; one sync if inputs are device arrays)
-    rp = np.asarray(refpos)
-    vp = np.asarray(vpos)
+    # host-side window planning (numpy; pass refpos_host/vpos_host to avoid
+    # a device->host fetch when the planes were already uploaded)
+    rp = np.asarray(refpos) if refpos_host is None else refpos_host
+    vp = np.asarray(vpos) if vpos_host is None else vpos_host
     n_blocks = -(-N // R)
     pad_rows = n_blocks * R - N
     rp_b = rp.reshape(-1) if pad_rows == 0 else np.pad(
@@ -649,14 +721,44 @@ def assign_alleles_pallas_windowed(codes, quals, refpos, vpos, ind_codes,
     pmax = rp_b.max(axis=1)
     lo_idx = np.searchsorted(vp, pmin, side="left")
     hi_idx = np.searchsorted(vp, pmax, side="right")
-    ws = np.minimum(lo_idx & ~np.int64(127), max(M - 1, 0))
+    # clamp to an ALIGNED maximum: the kernel promises Mosaic the DMA
+    # offset is a multiple of 128 (empty blocks land at lo_idx == M)
+    ws = np.minimum(lo_idx & ~np.int64(127), max((M - 1) & ~127, 0))
     if np.any(hi_idx - ws > W):
         # a block spans more than W table entries: XLA path handles it
         return assign_alleles_device(codes, quals, refpos, vpos, ind_codes,
                                      n_ind, baseq)
     ws = ws.astype(np.int32)
 
-    # pad table so every window [ws, ws+W) is in range, reads to (nB*R, W)
+    def pad_plane(x, fill):
+        x = x.astype(jnp.int32)
+        if pad_rows:
+            x = jnp.pad(x, ((0, pad_rows), (0, 0)), constant_values=fill)
+        return x
+
+    vidx, allele = _pallas_windowed_call(
+        pad_plane(codes, 15), pad_plane(quals, 0), pad_plane(refpos, 0),
+        jnp.asarray(ws), vpos, ind_codes, n_ind, baseq=baseq, block_rows=R,
+        algo=algo, interpret=interpret)
+    return vidx[:N], allele[:N]
+
+
+def _pallas_windowed_call(codes_p, quals_p, refpos_p, ws, vpos, ind_codes,
+                          n_ind, *, baseq: int, block_rows: int,
+                          algo: str, interpret: bool):
+    """jit-composable core of the windowed kernel: all-jnp table padding +
+    the pallas_call.  codes_p/quals_p/refpos_p are (NB, L) int32 with NB a
+    multiple of block_rows; ws is the (NB/block_rows,) int32 128-aligned
+    window-offset array (host-planned)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NB, L = codes_p.shape
+    M = int(vpos.shape[0])
+    R = block_rows
+    n_blocks = NB // R
+    W = _WIN
+    # pad table so every window [ws, ws+W) is in range
     Mp = ((M + 127) // 128) * 128 + W
     sent = np.iinfo(np.int32).max
     vpos_p = jnp.concatenate([vpos.astype(jnp.int32),
@@ -668,18 +770,9 @@ def assign_alleles_pallas_windowed(codes, quals, refpos, vpos, ind_codes,
     ni_p = jnp.concatenate([n_ind.astype(jnp.int32),
                             jnp.zeros(Mp - M, jnp.int32)])[None, :]
 
-    def pad_plane(x, fill):
-        x = x.astype(jnp.int32)
-        if pad_rows:
-            x = jnp.pad(x, ((0, pad_rows), (0, 0)), constant_values=fill)
-        return x
-
-    codes_p = pad_plane(codes, 15)
-    quals_p = pad_plane(quals, 0)
-    refpos_p = pad_plane(refpos, 0)
-    NB = n_blocks * R
-
-    kernel = functools.partial(_alleles_pallas_windowed_kernel, baseq=baseq)
+    body = (_alleles_pallas_cmp_kernel if algo == "cmp"
+            else _alleles_pallas_windowed_kernel)
+    kernel = functools.partial(body, baseq=baseq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -690,18 +783,86 @@ def assign_alleles_pallas_windowed(codes, quals, refpos, vpos, ind_codes,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((R, L), lambda i, w: (i, 0),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((1, W), jnp.int32)] * 4 +
-                       [pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=[pltpu.VMEM((2, W // 2), jnp.int32)] * 4 +
+                       [pltpu.SemaphoreType.DMA((8,))],
     )
-    vidx, allele = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((NB, L), jnp.int32),
                    jax.ShapeDtypeStruct((NB, L), jnp.int32)),
         interpret=interpret,
-    )(jnp.asarray(ws), vpos_p, a0_p, a1_p, ni_p,
-      codes_p, quals_p, refpos_p)
-    return vidx[:N], allele[:N]
+    )(ws, vpos_p, a0_p, a1_p, ni_p, codes_p, quals_p, refpos_p)
+
+
+def plan_windows_affine(start, lo, hi, aff, vpos_host, n_rows: int,
+                        block_rows: int = 256):
+    """Host-side window planning for AFFINE reads straight from the per-read
+    (start, lo, hi) ints — no refpos plane needed.  Rows with aff=False (or
+    empty alignments) are ignored.  Returns the (n_blocks,) int32
+    128-aligned window-offset array, or None when any block's variant band
+    exceeds the 256-entry window (caller falls back to the XLA kernel)."""
+    R = block_rows
+    n_blocks = -(-n_rows // R)
+    span = np.where(aff, hi.astype(np.int64) - lo, 0)
+    smin = np.where(aff & (span > 0), start.astype(np.int64),
+                    np.iinfo(np.int64).max)
+    smax = np.where(aff & (span > 0), start.astype(np.int64) + span - 1, 0)
+    pad = n_blocks * R - n_rows
+    if pad:
+        smin = np.pad(smin, (0, pad),
+                      constant_values=np.iinfo(np.int64).max)
+        smax = np.pad(smax, (0, pad))
+    pmin = smin.reshape(n_blocks, R).min(axis=1)
+    pmax = smax.reshape(n_blocks, R).max(axis=1)
+    M = len(vpos_host)
+    lo_idx = np.searchsorted(vpos_host, pmin, side="left")
+    hi_idx = np.searchsorted(vpos_host, pmax, side="right")
+    # aligned clamp: see assign_alleles_pallas_windowed planning
+    ws = np.minimum(lo_idx & ~np.int64(127), max((M - 1) & ~127, 0))
+    if np.any(hi_idx - ws > _WIN):
+        return None
+    return ws.astype(np.int32)
+
+
+def _nibble_windowed_impl(ncodes: jax.Array, start: jax.Array,
+                          lo: jax.Array, hi: jax.Array,
+                          ws: jax.Array, vpos: jax.Array,
+                          ind_codes: jax.Array,
+                          n_ind: jax.Array, capacity: int,
+                          algo: str = "gather",
+                          interpret: bool = False) -> jax.Array:
+    """Production fused affine path on the WINDOWED Pallas classifier:
+    nibble unpack + device refpos reconstruction + windowed-table Pallas
+    classification + hit packing, one program.  Slope-measured ~5.7x the
+    true execution speed of the XLA searchsorted kernel at whole-contig
+    table widths on v5e (the `cmp` algo measured 6x SLOWER than `gather` —
+    kept as the recorded negative result; see ARCHITECTURE.md).  `ws`
+    comes from plan_windows_affine.  Call the jitted
+    assign_compact_affine_nibble_windowed in production; this impl is
+    directly callable for interpreter-mode tests (the Mosaic interpreter
+    embedded inside jit is orders slower than eager)."""
+    N, Lh = ncodes.shape
+    L = 2 * Lh
+    lo_nib = (ncodes & jnp.uint8(0xF))
+    hi_nib = (ncodes >> 4)
+    mcodes = jnp.stack([lo_nib, hi_nib], axis=-1).reshape(N, L).astype(
+        jnp.int32)
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    aligned = (i >= lo[:, None]) & (i < hi[:, None])
+    refpos = jnp.where(aligned, start[:, None] + (i - lo[:, None]),
+                       jnp.int32(0))
+    R = min(256, N)
+    # baseq=0 with quals=mcodes leaves masked == mcodes (pre-masked plane)
+    vidx, allele = _pallas_windowed_call(
+        mcodes, mcodes, refpos, ws, vpos, ind_codes, n_ind, baseq=0,
+        block_rows=R, algo=algo, interpret=interpret)
+    return _pack_hits(vidx, allele, mcodes, capacity)
+
+
+assign_compact_affine_nibble_windowed = jax.jit(
+    _nibble_windowed_impl,
+    static_argnames=("capacity", "algo", "interpret"))
 
 
 def assign_alleles_pallas(codes, quals, refpos, vpos, ind_codes, n_ind,

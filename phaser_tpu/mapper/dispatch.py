@@ -38,6 +38,20 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _windowed_enabled() -> bool:
+    """Windowed Pallas classifier gate: on for real TPU backends (where it
+    slope-measures ~5.7x the XLA searchsorted kernel's true execution —
+    ARCHITECTURE.md "The Pallas question"), off on CPU (Mosaic can't
+    compile there; tests drive it via the interpreter instead).
+    PHASER_TPU_WINDOWED=0/1 overrides."""
+    import os
+    v = os.environ.get("PHASER_TPU_WINDOWED")
+    if v is not None:
+        return v not in ("0", "off", "")
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
 _SUB_ROWS = 1 << 18          # max reads per device launch
 _cap_feedback: dict = {}     # bucket key -> max hits observed
 _cap_loaded = False
@@ -320,6 +334,7 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
             st_k = np.where(aff, a_start, 0).astype(np.int32)
             lo_k = np.where(aff, a_lo, 0).astype(np.int32)
             hi_k = np.where(aff, a_hi, 0).astype(np.int32)
+            windowed = kind == "affine_nib" and _windowed_enabled()
             for s in range(0, N, _SUB_ROWS):
                 e = min(s + _SUB_ROWS, N)
                 if not aff[s:e].any():
@@ -333,16 +348,31 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                                 constant_values=pad_val)
                     ss, ls, hs = (np.pad(x, (0, Np - n_sub))
                                   for x in (ss, ls, hs))
-                fb_key = (kind, Np, L)
-                cap = _adaptive_cap(fb_key, Np * L)
+                ws = None
+                if windowed:
+                    from ..kernels.alleles import (
+                        assign_compact_affine_nibble_windowed,
+                        plan_windows_affine)
+                    ws = plan_windows_affine(ss, ls, hs, hs > ls, vpos, Np,
+                                             min(256, Np))
                 jc = jnp.asarray(cs)
                 if reuse:
                     # the scratch plane is rewritten by the next chunk's
                     # pack; wait for the copy to complete
                     jax.block_until_ready(jc)
-                packed = kern(
-                    jc, jnp.asarray(ss), jnp.asarray(ls), jnp.asarray(hs),
-                    jv, ji, jn, cap)
+                if ws is not None:
+                    # windowed Pallas classifier (same packed-hit output)
+                    fb_key = ("affine_win", Np, L)
+                    cap = _adaptive_cap(fb_key, Np * L * 2)
+                    packed = assign_compact_affine_nibble_windowed(
+                        jc, jnp.asarray(ss), jnp.asarray(ls),
+                        jnp.asarray(hs), jnp.asarray(ws), jv, ji, jn, cap)
+                else:
+                    fb_key = (kind, Np, L)
+                    cap = _adaptive_cap(fb_key, Np * L)
+                    packed = kern(
+                        jc, jnp.asarray(ss), jnp.asarray(ls),
+                        jnp.asarray(hs), jv, ji, jn, cap)
                 dev_parts.append((packed, cap, None, dev_vidx, s, fb_key))
 
         plane_all = np.flatnonzero(dev_read & ~is_aff)

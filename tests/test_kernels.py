@@ -522,10 +522,11 @@ def test_pallas_windowed_interpret_matches_device():
     jc, jq, jr = jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos)
     jv, ji, jn = jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni)
     want_v, want_a = assign_alleles_device(jc, jq, jr, jv, ji, jn, 10)
-    got_v, got_a = assign_alleles_pallas_windowed(jc, jq, jr, jv, ji, jn, 10,
-                                                  interpret=True)
-    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
-    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+    for algo in ("gather", "cmp"):
+        got_v, got_a = assign_alleles_pallas_windowed(
+            jc, jq, jr, jv, ji, jn, 10, interpret=True, algo=algo)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
     # sanity: the scenario produced real hits through the windowed path
     assert int((np.asarray(want_v) >= 0).sum()) > 50
 
@@ -556,3 +557,51 @@ def test_pallas_windowed_band_overflow_falls_back():
                                                   interpret=True)
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
     np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+
+
+def test_nibble_windowed_fused_matches_xla_fused(tmp_path):
+    """Fused windowed-Pallas nibble path (production TPU dispatch) produces
+    the identical packed-hit buffer as the XLA nibble kernel, via the
+    eager Mosaic interpreter."""
+    import jax.numpy as jnp
+    from phaser_tpu.kernels.alleles import (_nibble_windowed_impl,
+                                            assign_compact_affine_nibble,
+                                            decode_packed_hits,
+                                            pack_affine_nibble,
+                                            plan_windows_affine)
+
+    chunk, vt = _fixture(tmp_path, seed=13, contig_len=30000,
+                         n_variants_per_contig=150, n_reads_per_contig=220)
+    nb = pack_affine_nibble(chunk, 10)
+    assert nb is not None
+    ncodes, ia, st, lo, hi = nb
+    stk = np.where(ia, st, 0).astype(np.int32)
+    lok = np.where(ia, lo, 0).astype(np.int32)
+    hik = np.where(ia, hi, 0).astype(np.int32)
+    N = len(chunk)
+    Np = 1
+    while Np < N:
+        Np *= 2
+    nc = np.pad(ncodes, ((0, Np - N), (0, 0)), constant_values=0xFF)
+    stp = np.pad(stk, (0, Np - N))
+    lop = np.pad(lok, (0, Np - N))
+    hip = np.pad(hik, (0, Np - N))
+    vpos = vt.pos.astype(np.int32)
+    ws = plan_windows_affine(stp, lop, hip, hip > lop, vpos, Np,
+                             min(256, Np))
+    assert ws is not None
+    cap = 1 << 13
+    pw = _nibble_windowed_impl(
+        jnp.asarray(nc), jnp.asarray(stp), jnp.asarray(lop),
+        jnp.asarray(hip), jnp.asarray(ws), jnp.asarray(vpos),
+        jnp.asarray(vt.ind_codes), jnp.asarray(vt.n_ind), cap,
+        interpret=True)
+    pn = assign_compact_affine_nibble(
+        jnp.asarray(nc), jnp.asarray(stp), jnp.asarray(lop),
+        jnp.asarray(hip), jnp.asarray(vpos), jnp.asarray(vt.ind_codes),
+        jnp.asarray(vt.n_ind), cap)
+    rw = decode_packed_hits(np.asarray(pw))
+    rn = decode_packed_hits(np.asarray(pn))
+    assert rw[4] == rn[4] and rw[4] > 30, (rw[4], rn[4])
+    for a, b in zip(rw[:4], rn[:4]):
+        np.testing.assert_array_equal(a, b)
