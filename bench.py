@@ -175,11 +175,21 @@ def bench_device(bd, vt):
     jc = jnp.asarray(codes)
     js, jl, jh = jnp.asarray(stk), jnp.asarray(lok), jnp.asarray(hik)
 
+    from phaser_tpu.kernels.alleles import (
+        assign_compact_affine_nibble_windowed, plan_windows_affine)
+    ws = plan_windows_affine(stk, lok, hik, hik > lok, vpos,
+                             codes.shape[0], min(256, codes.shape[0]))
+    jw = jnp.asarray(ws) if ws is not None else None
+
     def step():
+        if jw is not None:  # production TPU classifier (windowed Pallas)
+            return assign_compact_affine_nibble_windowed(
+                jc, js, jl, jh, jw, jv, ji, jn, cap)
         return assign_compact_affine_nibble(jc, js, jl, jh, jv, ji, jn, cap)
 
-    # kernel timing in pre-fetch (pipelined-dispatch) mode; nibble plane
-    # (2 bases/byte) is the production affine path
+    # enqueue-mode timing (NOT execution: block_until_ready returns at
+    # enqueue through this tunnel pre-first-fetch; kept for the dispatch-
+    # overhead signal only — see slope timing below for the real number)
     pk = step()
     jax.block_until_ready(pk)
     t0 = time.perf_counter()
@@ -208,6 +218,20 @@ def bench_device(bd, vt):
     np.asarray(jnp.zeros(8))
     t_flip = time.perf_counter() - t0
 
+    # TRUE kernel execution via slope timing: K launches + one forced
+    # fetch; (t(K2)-t(K1))/(K2-K1) cancels the per-run fixed costs.
+    # (Enqueue-mode timings mis-measured the XLA kernel 90,000x fast in
+    # round 2 — ARCHITECTURE.md "The Pallas question".)
+    slope_t = {}
+    for K in (1, 4):
+        t0 = time.perf_counter()
+        outs = [step() for _ in range(K)]
+        for o in outs:
+            np.asarray(o[:, :2])  # tiny fetch forces execution of each
+        slope_t[K] = time.perf_counter() - t0
+    t_true = (slope_t[4] - slope_t[1]) / 3
+    kernel_true_rps = n_reads / (t_true + t_pack) if t_true > 0 else None
+
     # deferred launch wave + ONE batched fetch (mapper.dispatch.resolve_all);
     # two rounds, second (steady-state, caps learned) reported
     n_chunks = 8
@@ -227,6 +251,8 @@ def bench_device(bd, vt):
         t_resolve = time.perf_counter() - t0
     plane_e2e = (csize * n_chunks) / (t_wave + t_resolve)
     return {"device_kernel_reads_per_s": kernel_rps,
+            "device_kernel_true_reads_per_s": kernel_true_rps,
+            "device_step_true_s": t_true,
             "device_pack_s": t_pack, "device_step_s": t_dev,
             "device_step_masked_s": t_dev_masked,
             "device_flip_s": t_flip,
@@ -322,6 +348,14 @@ def main():
         "decode_s": round(host["decode_s"], 3),
         "map_s": round(host["map_s"], 3),
         "device_kernel_reads_per_s": round(dev["device_kernel_reads_per_s"], 1),
+        "device_kernel_true_reads_per_s": round(
+            dev["device_kernel_true_reads_per_s"], 1)
+        if dev["device_kernel_true_reads_per_s"] else None,
+        "device_step_true_s": round(dev["device_step_true_s"], 5),
+        "device_kernel_note": "device_kernel_reads_per_s is ENQUEUE-mode "
+                              "(dispatch overhead only); "
+                              "device_kernel_true_reads_per_s is "
+                              "slope-timed real execution",
         "device_pack_s": round(dev["device_pack_s"], 4),
         "device_step_s": round(dev["device_step_s"], 5),
         "device_step_masked_s": round(dev["device_step_masked_s"], 5),

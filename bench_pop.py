@@ -63,7 +63,9 @@ def make_cis_var_inputs(tmp, rng, matrix_path):
         f.write("vcf_sample\tbed_sample\n")
         for v in vs:
             f.write("%s\t%s\n" % (v, v))
-    genes = ["ENSG%06d.1" % i for i in range(P)]
+    # cycle genes when P > G so every pair resolves to a matrix row (no
+    # silently-dropped pairs inflating the rate)
+    genes = ["ENSG%06d.1" % (i % G) for i in range(P)]
     vcf_rows = ["##fileformat=VCFv4.2",
                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
                 "\t".join(vs)]
@@ -99,12 +101,20 @@ def main():
 
         vcf_path, pairs_path, map_path = make_cis_var_inputs(
             tmp, rng, mat + ".gw_phased.bed.gz")
+        # headline: engine="auto" — what users get (measured-crossover gate
+        # between the numpy path and the batched device bootstrap)
         out = os.path.join(tmp, "cis_var.txt")
         t0 = time.perf_counter()
         run_cis_var(mat + ".gw_phased.bed.gz", vcf_path, pairs_path,
-                    map_path, out, bs=BS, bs_seed=7, engine="jax")
+                    map_path, out, bs=BS, bs_seed=7, engine="auto")
         t_cis = time.perf_counter() - t0
         n_out = sum(1 for _ in open(out)) - 1
+
+        out_jax = os.path.join(tmp, "cis_var_jax.txt")
+        t0 = time.perf_counter()
+        run_cis_var(mat + ".gw_phased.bed.gz", vcf_path, pairs_path,
+                    map_path, out_jax, bs=BS, bs_seed=7, engine="jax")
+        t_jax = time.perf_counter() - t0
 
         # numpy-engine comparison floor, on a subset when P is large (the
         # per-pair numpy bootstrap rate is flat, so the subset rate is the
@@ -127,12 +137,15 @@ def main():
         "unit": "samples/s",
         "samples": S, "genes": G,
         "matrix_s": round(t_matrix, 3),
-        "cis_var_pairs_per_s": round(P / t_cis, 2),
+        "cis_var_pairs_per_s": round(n_out / t_cis, 2),
+        "cis_var_engine": "auto",
+        "cis_var_jax_pairs_per_s": round(n_out / t_jax, 2),
         "cis_var_numpy_pairs_per_s": round(np_pairs / t_np, 2),
         "cis_var_numpy_pairs": np_pairs,
         "cis_var_pairs": n_out,
         "cis_var_bs": BS,
         "cis_var_s": round(t_cis, 3),
+        "cis_var_jax_s": round(t_jax, 3),
         "cis_var_numpy_s": round(t_np, 3),
     }
     print(json.dumps(payload))

@@ -132,10 +132,14 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
     bitwise equal). Pin --engine for bitwise-reproducible CI columns."""
     df_pairs_n = max(sum(1 for _ in open(pairs)) - 1, 0)
     if engine == "auto":
-        # fixed jax cost = compile (cached across runs) + one transfer;
-        # numpy costs ~bs*n work per cohort. Crossover on a tunneled TPU
-        # link is ~10 pairs at the default bs=10000.
-        engine = "jax" if df_pairs_n * bs >= 100_000 else "numpy"
+        # measured on the tunneled v5e (BENCH_pop_r03): jax pays ~66 s of
+        # fixed per-run cost (shape-bucket jit + the tunnel's dispatch-mode
+        # flip on first fetch) then ~6 ms/pair; the vectorized numpy
+        # bootstrap runs ~80-95 ms/pair with zero fixed cost. Crossover
+        # ~800 pairs at the default bs=10000 -> gate on pairs*bs ~ 8M.
+        # (On directly-attached TPU hosts the fixed cost is seconds; users
+        # there can pin --engine jax.)
+        engine = "jax" if df_pairs_n * bs >= 8_000_000 else "numpy"
     if engine == "jax":
         try:
             import jax  # noqa: F401
