@@ -865,6 +865,53 @@ assign_compact_affine_nibble_windowed = jax.jit(
     static_argnames=("capacity", "algo", "interpret"))
 
 
+def plan_windows_plane(refpos_host: np.ndarray, vpos_host: np.ndarray,
+                       block_rows: int = 256):
+    """Host-side window planning from an (N, L) refpos plane (the
+    D/N/split-M read path — positions are already expanded host-side).
+    Same contract as plan_windows_affine."""
+    N, L = refpos_host.shape
+    R = block_rows
+    n_blocks = -(-N // R)
+    pad = n_blocks * R - N
+    rp = refpos_host if pad == 0 else np.pad(refpos_host, ((0, pad), (0, 0)))
+    rp = rp.reshape(n_blocks, R * L)
+    rp_pos = np.where(rp > 0, rp, np.iinfo(np.int32).max)
+    pmin = rp_pos.min(axis=1)
+    pmax = rp.max(axis=1)
+    M = len(vpos_host)
+    lo_idx = np.searchsorted(vpos_host, pmin, side="left")
+    hi_idx = np.searchsorted(vpos_host, pmax, side="right")
+    ws = np.minimum(lo_idx & ~np.int64(127), max((M - 1) & ~127, 0))
+    if np.any(hi_idx - ws > _WIN):
+        return None
+    return ws.astype(np.int32)
+
+
+def _plane_windowed_impl(codes: jax.Array, quals: jax.Array,
+                         refpos: jax.Array, ws: jax.Array, vpos: jax.Array,
+                         ind_codes: jax.Array, n_ind: jax.Array,
+                         baseq: int, capacity: int,
+                         algo: str = "gather",
+                         interpret: bool = False) -> jax.Array:
+    """Windowed-Pallas form of assign_compact_plane (the refpos-plane path
+    for D/N/split-M reads): classification + hit packing, one program.
+    `ws` comes from plan_windows_plane."""
+    N, L = codes.shape
+    c32 = codes.astype(jnp.int32)
+    q32 = quals.astype(jnp.int32)
+    vidx, allele = _pallas_windowed_call(
+        c32, q32, refpos.astype(jnp.int32), ws, vpos, ind_codes, n_ind,
+        baseq=baseq, block_rows=min(256, N), algo=algo, interpret=interpret)
+    masked = jnp.where(q32 >= baseq, c32, jnp.int32(15))
+    return _pack_hits(vidx, allele, masked, capacity)
+
+
+assign_compact_plane_windowed = jax.jit(
+    _plane_windowed_impl,
+    static_argnames=("baseq", "capacity", "algo", "interpret"))
+
+
 def assign_alleles_pallas(codes, quals, refpos, vpos, ind_codes, n_ind,
                           baseq: int, block_rows: int = 256):
     """Pallas TPU version of assign_alleles_device (same outputs).

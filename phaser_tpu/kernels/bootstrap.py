@@ -112,15 +112,26 @@ def bootstrap_cis_device(cohorts: List[np.ndarray], bs: int,
     ns = np.array([len(cohorts[i]) for i in idxs], np.int32)
     Npad = _pow2(int(ns.max()))
     B = len(idxs)
-    Bp = _pow2(B)
-    X = np.full((Bp, Npad), np.inf, np.float32)
-    for k, i in enumerate(idxs):
-        X[k, :ns[k]] = np.sort(cohorts[i])
-    n_arr = np.ones(Bp, np.int32)
-    n_arr[:B] = ns
+    # Fixed 2048-row batch bucket: (a) bounds the gamma-sampler's HLO temp
+    # buffers (a 16k-row batch at bs=10000 needs ~30 GB HBM — OOM on v5e);
+    # (b) every chunk of every run hits the SAME compiled program, so the
+    # persisted compile cache amortizes the per-process AOT cost across
+    # arbitrary pair counts. All chunks launch before the one fetch.
+    Bp = min(_pow2(B), 2048)
     key = jax.random.key(seed)
-    stacked = batched_bootstrap_median(jnp.asarray(X), jnp.asarray(n_arr),
-                                       key, bs)
+    chunks = []
+    for c0 in range(0, B, Bp):
+        cidx = idxs[c0:c0 + Bp]
+        X = np.full((Bp, Npad), np.inf, np.float32)
+        n_arr = np.ones(Bp, np.int32)
+        for k, i in enumerate(cidx):
+            X[k, :len(cohorts[i])] = np.sort(cohorts[i])
+            n_arr[k] = len(cohorts[i])
+        key, sub = jax.random.split(key)
+        chunks.append(batched_bootstrap_median(jnp.asarray(X),
+                                               jnp.asarray(n_arr), sub, bs))
+    stacked = chunks[0] if len(chunks) == 1 else \
+        jnp.concatenate(chunks, axis=1)
     # ONE device->host transfer for every cohort's (lower, upper, p)
     lo, hi, p = np.asarray(stacked)
     for k, i in enumerate(idxs):

@@ -376,6 +376,7 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                 dev_parts.append((packed, cap, None, dev_vidx, s, fb_key))
 
         plane_all = np.flatnonzero(dev_read & ~is_aff)
+        plane_win = _windowed_enabled()
         for s in range(0, plane_all.size, _SUB_ROWS):
             # refpos-plane path for D/N/split-M reads (small remainder)
             plane_sel = plane_all[s:s + _SUB_ROWS]
@@ -387,11 +388,24 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                 codes2 = np.pad(codes2, ((0, Np2 - N2), (0, 0)))
                 quals2 = np.pad(quals2, ((0, Np2 - N2), (0, 0)))
                 refpos2 = np.pad(refpos2, ((0, Np2 - N2), (0, 0)))
-            fb_key = ("plane", Np2, L2)
-            cap2 = _adaptive_cap(fb_key, Np2 * L2)
-            packed2 = assign_compact_plane(
-                jnp.asarray(codes2), jnp.asarray(quals2),
-                jnp.asarray(refpos2), jv, ji, jn, baseq, cap2)
+            ws2 = None
+            if plane_win and L2 % 128 == 0:
+                from ..kernels.alleles import (assign_compact_plane_windowed,
+                                               plan_windows_plane)
+                ws2 = plan_windows_plane(refpos2, vpos, min(256, Np2))
+            if ws2 is not None:
+                fb_key = ("plane_win", Np2, L2)
+                cap2 = _adaptive_cap(fb_key, Np2 * L2)
+                packed2 = assign_compact_plane_windowed(
+                    jnp.asarray(codes2), jnp.asarray(quals2),
+                    jnp.asarray(refpos2), jnp.asarray(ws2), jv, ji, jn,
+                    baseq, cap2)
+            else:
+                fb_key = ("plane", Np2, L2)
+                cap2 = _adaptive_cap(fb_key, Np2 * L2)
+                packed2 = assign_compact_plane(
+                    jnp.asarray(codes2), jnp.asarray(quals2),
+                    jnp.asarray(refpos2), jv, ji, jn, baseq, cap2)
             dev_parts.append((packed2, cap2, plane_sel, dev_vidx, 0, fb_key))
     # device-path time: table/read upload prep + launches (async); the
     # wait/fetch side is accounted in PendingHits.wait / resolve_all

@@ -605,3 +605,42 @@ def test_nibble_windowed_fused_matches_xla_fused(tmp_path):
     assert rw[4] == rn[4] and rw[4] > 30, (rw[4], rn[4])
     for a, b in zip(rw[:4], rn[:4]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_plane_windowed_fused_matches_xla_plane(tmp_path):
+    """Windowed refpos-plane path (spliced/deletion reads) == XLA plane
+    kernel packed buffers, via the eager interpreter."""
+    import jax.numpy as jnp
+    from phaser_tpu.kernels.alleles import (_plane_windowed_impl,
+                                            assign_compact_plane,
+                                            decode_packed_hits, pack_reads,
+                                            plan_windows_plane)
+
+    chunk, vt = _fixture(tmp_path, seed=14, contig_len=30000,
+                         n_variants_per_contig=150, n_reads_per_contig=200,
+                         frac_spliced=0.5)
+    codes, quals, refpos = pack_reads(chunk)
+    N = codes.shape[0]
+    Np = 1
+    while Np < N:
+        Np *= 2
+    codes = np.pad(codes, ((0, Np - N), (0, 0)))
+    quals = np.pad(quals, ((0, Np - N), (0, 0)))
+    refpos = np.pad(refpos, ((0, Np - N), (0, 0)))
+    vpos = vt.pos.astype(np.int32)
+    ws = plan_windows_plane(refpos, vpos, min(256, Np))
+    assert ws is not None
+    cap = 1 << 13
+    pw = _plane_windowed_impl(
+        jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos),
+        jnp.asarray(ws), jnp.asarray(vpos), jnp.asarray(vt.ind_codes),
+        jnp.asarray(vt.n_ind), 10, cap, interpret=True)
+    pn = assign_compact_plane(
+        jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos),
+        jnp.asarray(vpos), jnp.asarray(vt.ind_codes),
+        jnp.asarray(vt.n_ind), 10, cap)
+    rw = decode_packed_hits(np.asarray(pw))
+    rn = decode_packed_hits(np.asarray(pn))
+    assert rw[4] == rn[4] and rw[4] > 30, (rw[4], rn[4])
+    for a, b in zip(rw[:4], rn[:4]):
+        np.testing.assert_array_equal(a, b)
