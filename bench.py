@@ -222,6 +222,9 @@ def bench_device(bd, vt):
     # fetch; (t(K2)-t(K1))/(K2-K1) cancels the per-run fixed costs.
     # (Enqueue-mode timings mis-measured the XLA kernel 90,000x fast in
     # round 2 — ARCHITECTURE.md "The Pallas question".)
+    # steady-state warmup: the first post-flip fetch also drains any work
+    # still queued from the enqueue-mode loop above
+    np.asarray(step()[:, :2])
     slope_t = {}
     for K in (1, 4):
         t0 = time.perf_counter()

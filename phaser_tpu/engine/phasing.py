@@ -20,8 +20,11 @@ import numpy as np
 AlleleConn = Dict[Tuple[int, int], Set[Tuple[int, int]]]
 
 
+_INV_TABLE = str.maketrans("01", "10")
+
+
 def inverse_config(config: str) -> str:
-    return "".join("-" if c == "-" else str(int(not int(c))) for c in config)
+    return config.translate(_INV_TABLE)
 
 
 def _component_of_first_key(ac: AlleleConn) -> Set[Tuple[int, int]]:
@@ -147,12 +150,12 @@ def sub_block_phase(variants: Sequence[int], ac: AlleleConn,
             result = _device_full_enumeration(variants, ac, n)
             if result is not None:
                 return result
-        # itertools.product("01", repeat=n) order, one per complement class:
-        # exactly the configs starting with '0'
-        configurations = []
-        for bits in range(2 ** max(n - 1, 0)):
-            configurations.append(
-                "0" + format(bits, "0%db" % (n - 1))[:n - 1] if n > 1 else "0")
+        # itertools.product("01", repeat=n) order, one per complement
+        # class: exactly the configs starting with '0'.  All of them start
+        # with '0' and their inverses with '1', so the complement-class
+        # dedup below would remove nothing — score the bit patterns
+        # directly without ever materializing 2^(n-1) strings.
+        return _enumerate_phase_host(variants, ac, n)
 
     # complement-class dedup in iteration order
     seen = set()
@@ -170,6 +173,40 @@ def sub_block_phase(variants: Sequence[int], ac: AlleleConn,
     if len(best) == 1:
         return [best[0], inverse_config(best[0])]
     return ["-" * len(variants), "-" * len(variants)]
+
+
+def _enumerate_phase_host(variants: Sequence[int], ac: AlleleConn,
+                          n: int) -> List[str]:
+    """Vectorized host enumeration: score all 2^(n-1) complement classes
+    as one einsum over bit-pattern one-hots (identical scores and
+    iteration order to the string path it replaces)."""
+    local = {v: i for i, v in enumerate(variants)}
+    M = np.zeros((2 * n, 2 * n), np.int32)
+    for i, v in enumerate(variants):
+        for a in (0, 1):
+            for (w, b) in ac.get((v, a), ()):
+                j = local.get(w)
+                if j is not None and w != v:
+                    M[i * 2 + a, j * 2 + b] = 1
+    S = 2 ** max(n - 1, 0)
+    bits = np.arange(S, dtype=np.int64)
+    # column i of the config = bit (n-1-i) of `bits`, with column 0 fixed 0
+    alleles = np.zeros((S, n), np.int8)
+    if n > 1:
+        shifts = np.arange(n - 2, -1, -1, dtype=np.int64)
+        alleles[:, 1:] = ((bits[:, None] >> shifts[None, :]) & 1)
+    V = np.zeros((S, 2 * n), np.int32)
+    rows = np.repeat(np.arange(S), n)
+    cols = (2 * np.arange(n)[None, :] + alleles).reshape(-1)
+    V[rows, cols] = 1
+    scores = np.einsum("si,ij,sj->s", V, M, V)
+    max_support = int(scores.max())
+    best = np.flatnonzero(scores == max_support)
+    if len(best) == 1:
+        b = int(best[0])
+        cfg = "0" + format(b, "0%db" % (n - 1)) if n > 1 else "0"
+        return [cfg, inverse_config(cfg)]
+    return ["-" * n, "-" * n]
 
 
 def find_weak_points(variants: Sequence[int],
