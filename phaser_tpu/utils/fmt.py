@@ -19,6 +19,9 @@ def pystr(x) -> str:
     str(np.float64(x)) matches str(float(x)) on current numpy, but we demote
     explicitly so output never depends on the numpy version.
     """
+    t = type(x)
+    if t is str or t is int or t is float:  # fast path: already native
+        return str(x)
     if isinstance(x, np.floating):
         return str(float(x))
     if isinstance(x, np.integer):
@@ -34,9 +37,9 @@ def list_to_string(xlist, sep: str = ",") -> str:
     Mirrors the reference helper (/root/reference/phaser/phaser.py:2003-2011),
     including the empty-list -> "" behavior.
     """
-    return sep.join(pystr(item) for item in xlist)
+    return sep.join(map(pystr, xlist))
 
 
 def str_join(joiner: str, xlist) -> str:
     """Mirror of the reference str_join (/root/reference/phaser/phaser.py:1857)."""
-    return joiner.join(pystr(item) for item in xlist)
+    return joiner.join(map(pystr, xlist))
