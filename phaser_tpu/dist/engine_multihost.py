@@ -90,12 +90,87 @@ class _ReducerBase:
         parts = self._allgather(("noise", int(bm), int(bmm)))
         return (sum(p[1] for p in parts), sum(p[2] for p in parts))
 
+    # distributed exact quantile: O(bins + boundary bucket) traffic instead
+    # of allgathering every shard's full per-read score vector (at WGS
+    # scale that is GBs per BAM through the collective)
+    _AS_SMALL = 8192      # below this total count, one full gather is fine
+    _AS_BINS = 4096
+
     def as_percentile(self, scores, q: float) -> Optional[float]:
-        parts = self._allgather(("as", np.asarray(scores, np.float64)))
-        allv = np.concatenate([p[1] for p in parts])
-        if allv.size == 0:
+        """Exact distributed percentile, BIT-IDENTICAL to
+        np.percentile(concat(all shards' scores), q) (linear method):
+
+          1. allgather (count, min, max);
+          2. allgather fixed-edge histograms; locate the bucket(s) holding
+             the two order statistics numpy's linear interpolation reads;
+          3. allgather only those buckets' values and reproduce numpy's
+             lerp arithmetic (including its t >= 0.5 reformulation) on the
+             exact order statistics.
+
+        The reference concatenates all mapper outputs in the parent and
+        takes numpy.percentile (/root/reference/phaser/phaser.py:540-553);
+        every shard returns the same float here."""
+        v = np.asarray(scores, np.float64)
+        stats = self._allgather((
+            "as_stats", int(v.size),
+            float(v.min()) if v.size else np.inf,
+            float(v.max()) if v.size else -np.inf))
+        n = sum(p[1] for p in stats)
+        if n == 0:
             return None
-        return float(np.percentile(allv, q))
+        gmin = min(p[2] for p in stats)
+        gmax = max(p[3] for p in stats)
+        if n <= self._AS_SMALL:
+            parts = self._allgather(("as_all", v))
+            allv = np.concatenate([p[1] for p in parts])
+            return float(np.percentile(allv, q))
+        # numpy's virtual index for the default 'linear' method, replicated
+        # expression-for-expression ((n - 1) * q — NOT the algebraically
+        # equal _compute_virtual_index form, which rounds differently)
+        qf = np.true_divide(q, 100)
+        pos = (n - 1) * qf
+        if pos >= n - 1:
+            k0 = k1 = n - 1
+            gamma = 0.0
+        elif pos < 0:
+            k0 = k1 = 0
+            gamma = 0.0
+        else:
+            k0 = int(np.floor(pos))
+            k1 = k0 + 1
+            gamma = pos - np.floor(pos)
+        if gmin == gmax:
+            # degenerate span: every value is identical — all shards agree
+            # on (n, gmin, gmax), so every shard takes this branch together
+            return float(gmin)
+        B = self._AS_BINS
+        edges = np.linspace(gmin, gmax, B + 1)
+        if v.size:
+            idx = np.clip(np.searchsorted(edges, v, side="right") - 1,
+                          0, B - 1)
+            hist = np.bincount(idx, minlength=B)
+        else:
+            idx = np.zeros(0, np.int64)
+            hist = np.zeros(B, np.int64)
+        parts = self._allgather(("as_hist", hist.astype(np.int64)))
+        total = np.sum([p[1] for p in parts], axis=0)
+        cum = np.cumsum(total)
+        b0 = int(np.searchsorted(cum, k0, side="right"))
+        b1 = int(np.searchsorted(cum, k1, side="right"))
+        below = int(cum[b0 - 1]) if b0 > 0 else 0
+        mine = v[(idx >= b0) & (idx <= b1)] if v.size else v
+        parts = self._allgather(("as_vals", mine))
+        pool = np.sort(np.concatenate([p[1] for p in parts]))
+        a = pool[k0 - below]
+        b = pool[k1 - below]
+        # numpy _lerp: a + (b-a)*t, recomputed as b - (b-a)*(1-t) when
+        # t >= 0.5 — replicated so the result is bit-identical
+        diff = b - a
+        if gamma >= 0.5:
+            r = b - diff * (1.0 - gamma)
+        else:
+            r = a + diff * gamma
+        return float(r)
 
     def row_offsets(self, entries) -> List[int]:
         """entries: [(bam_i, contig, entry_i, n_rows)] in this shard's scan
@@ -290,6 +365,10 @@ def _merge_results(per_shard: List[PhaserResult]) -> PhaserResult:
     # block_count is a running global index; the final value is the max
     total.n_blocks = max((r.n_blocks for r in per_shard), default=0)
     total.noise_e = per_shard[0].noise_e if per_shard else 0.0
+    # per-shard device fractions (device='auto' evidence): (device_s, wall_s)
+    total.shard_device = [(r.device_s, r.wall_s) for r in per_shard]
+    total.device_s = sum(r.device_s for r in per_shard)
+    total.wall_s = max((r.wall_s for r in per_shard), default=0.0)
     return total
 
 
@@ -309,12 +388,19 @@ def run_phaser_sharded_threads(*, n_shards: int, vcf: str, bam: str,
                                **kw) -> PhaserResult:
     """In-process sharded run: n_shards engine threads + ThreadReducer.
 
-    Device launches must stay single-threaded, so this driver requires
-    device in ('host', 'off') — exactly the engine's own threading gate.
+    device='auto' runs every shard's compute through mapper.dispatch on
+    the (single, shared) local device: JAX dispatch is thread-safe, each
+    shard's launches are serial within its own thread, and the packer
+    scratch buffers are thread-local (kernels.alleles._reuse_buf) — so
+    shards interleave launches on one chip without aliasing.  On a real
+    multi-chip host, use run_phaser_multihost (one process per chip).
     """
-    if device not in ("host", "off"):
-        raise ValueError("thread-sharded engine requires device='host'")
     opts = opts or PhaserOptions()
+    if device not in ("host", "off"):
+        # one-time, single-threaded init of the persistent compile cache
+        # before shard threads race to it
+        from ..utils.jaxtune import enable_compile_cache
+        enable_compile_cache()
     contigs = chrom.split(",") if chrom else list_contigs(vcf)
     n_shards = max(1, min(n_shards, len(contigs)))
     assign = split_contigs(contigs, n_shards)
@@ -403,15 +489,21 @@ def _mp_main(argv=None) -> int:
     ap.add_argument("--coordinator", default="localhost:9711")
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--chr", default="")
+    ap.add_argument("--device", default="host",
+                    help="'auto' drives this process's chip through "
+                         "mapper.dispatch, exactly like the single-process "
+                         "engine; 'host' = CPU compute")
     args = ap.parse_args(argv)
     res = run_phaser_multihost(
         vcf=args.vcf, bam=args.bam, sample=args.sample, o=args.o,
         mapq=args.mapq, baseq=args.baseq, paired_end=args.paired_end,
         num_processes=args.num_processes, process_id=args.process_id,
         coordinator=args.coordinator, platform=args.platform,
-        chrom=args.chr)
-    print("MULTIHOST_ENGINE_DONE shard=%d reads=%d noise=%.8f"
-          % (args.process_id, res.total_reads, res.noise_e))
+        chrom=args.chr, device=args.device)
+    print("MULTIHOST_ENGINE_DONE shard=%d reads=%d noise=%.8f "
+          "device_s=%.3f wall_s=%.3f"
+          % (args.process_id, res.total_reads, res.noise_e,
+             res.device_s, res.wall_s))
     return 0
 
 

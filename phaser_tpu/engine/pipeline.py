@@ -45,6 +45,12 @@ class PhaserResult:
     unphased_count: int = 0
     covered_count: int = 0
     dropped_connections: int = 0
+    # device-path seconds / wall seconds of this run (thread-scoped, so a
+    # shard engine reports only its own device time); multi-shard drivers
+    # collect per-shard (device_s, wall_s) pairs into shard_device
+    device_s: float = 0.0
+    wall_s: float = 0.0
+    shard_device: List[Tuple[float, float]] = field(default_factory=list)
 
 
 def _broadcast(value: str, n: int, what: str) -> List[str]:
@@ -451,6 +457,7 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
 
         total_time = time.time() - t0
         tracer.finish()
+        res.device_s, res.wall_s = tracer.device_share()
         for line in tracer.summary_lines():
             log(line)
         log("")

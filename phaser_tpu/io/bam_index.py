@@ -1,0 +1,429 @@
+"""BAI index reading + index-driven region/range BAM decode.
+
+The reference reaches indexed access by shelling out to samtools
+(`samtools view -h BAM 'chrom':` region pipes plus `-L sites.bed`,
+/root/reference/phaser/phaser.py:1346) — which still INFLATES every BGZF
+block of the region stream.  phaser_tpu reads the BAI itself and
+decompresses only the blocks that can contain wanted records:
+
+  * BaiIndex            — parsed .bai (bins + 16 KiB linear index)
+  * read_bam_voffset_ranges — decode an explicit merged voffset-range list
+    (the samtools region algorithm's chunk union; used for het-site
+    decode skipping, where sites cover a small genome fraction)
+  * read_bam_starts     — all reads of one contig with START in [lo, hi)
+    (the position-range engine shard unit: reads are coordinate-sorted,
+    so the scan starts at the linear-index voffset and stops at the first
+    read past hi)
+  * concat_bam          — stitch BamData chunks (file order preserved)
+
+Decode uses the native multithreaded BGZF inflater when available, with a
+pure-Python fallback.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import bgzf
+from .bam import BamData, NameView, _parse_records_v2, read_bam
+from .tabix import reg2bins
+
+_MIN_SHIFT = 14  # 16 KiB linear-index windows (BAI fixed)
+
+
+class BaiIndex:
+    """Parsed BAI: per-reference R-tree bins and the 16 KiB linear index."""
+
+    def __init__(self, bins: List[Dict[int, List[Tuple[int, int]]]],
+                 linear: List[np.ndarray]):
+        self.bins = bins
+        self.linear = linear
+
+    @classmethod
+    def from_path(cls, path: str) -> "BaiIndex":
+        buf = open(path, "rb").read()
+        if buf[:4] != b"BAI\x01":
+            raise ValueError("bad BAI magic in %s" % path)
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        linear: List[np.ndarray] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            bd: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                b, n_chunk = struct.unpack_from("<Ii", buf, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", buf, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bd[b] = chunks
+            (n_intv,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            lin = np.frombuffer(buf, "<u8", n_intv, off).copy()
+            off += 8 * n_intv
+            bins.append(bd)
+            linear.append(lin)
+        return cls(bins, linear)
+
+    def n_ref(self) -> int:
+        return len(self.bins)
+
+    def start_voff(self, tid: int, pos0: int) -> Optional[int]:
+        """Virtual offset at which a scan for reads with start >= pos0 can
+        begin (every read with start >= pos0 lies at or after it), or None
+        when the index proves no such read exists."""
+        lin = self.linear[tid]
+        w = pos0 >> _MIN_SHIFT
+        if w >= len(lin):
+            return None
+        nz = np.flatnonzero(lin[w:])
+        if nz.size == 0:
+            return None
+        return int(lin[w + nz[0]])
+
+    def chunks_for_region(self, tid: int, beg0: int,
+                          end0: int) -> List[Tuple[int, int]]:
+        """Merged voffset chunk list containing EVERY read overlapping
+        [beg0, end0) — the samtools query algorithm (reg2bins union,
+        lower-bounded by the linear index)."""
+        bd = self.bins[tid]
+        lin = self.linear[tid]
+        w = beg0 >> _MIN_SHIFT
+        min_voff = int(lin[w]) if w < len(lin) else \
+            (int(lin[-1]) if len(lin) else 0)
+        chunks = []
+        for b in reg2bins(beg0, end0):
+            for cb, ce in bd.get(b, ()):
+                if ce > min_voff:
+                    chunks.append((max(cb, min_voff), ce))
+        return merge_voffset_ranges(chunks)
+
+    def contig_coffset_span(self, tid: int) -> Tuple[int, int]:
+        """(first, last) compressed-file offsets the linear index records
+        for this reference — the byte weight of its reads (0, 0) if none."""
+        lin = self.linear[tid]
+        nz = lin[lin > 0]
+        if nz.size == 0:
+            return (0, 0)
+        return (int(nz.min() >> 16), int(nz.max() >> 16))
+
+
+def merge_voffset_ranges(chunks: Sequence[Tuple[int, int]]
+                         ) -> List[Tuple[int, int]]:
+    if not chunks:
+        return []
+    out = [list(c) for c in sorted(chunks)][:1]
+    for cb, ce in sorted(chunks)[1:]:
+        if cb <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], ce)
+        else:
+            out.append([cb, ce])
+    return [(int(a), int(b)) for a, b in out]
+
+
+def ensure_bai(bam_path: str) -> Optional[str]:
+    """Path of the BAM's .bai, building it if absent (our own builder);
+    None if it cannot be produced."""
+    import os
+    p = bam_path + ".bai"
+    if os.path.isfile(p):
+        return p
+    try:
+        from .tabix import build_bai_index
+        build_bai_index(bam_path)
+    except Exception:
+        return None
+    return p if os.path.isfile(p) else None
+
+
+# ---------------------------------------------------------------------------
+# decode helpers
+
+def concat_bam(chunks: Sequence[BamData]) -> BamData:
+    chunks = [c for c in chunks if c is not None]
+    if not chunks:
+        raise ValueError("concat_bam needs at least one chunk")
+    if len(chunks) == 1:
+        return chunks[0]
+    first = chunks[0]
+
+    def cat(attr):
+        return np.concatenate([getattr(c, attr) for c in chunks])
+
+    def cat_ragged(flat_attr, off_attr):
+        flats = [getattr(c, flat_attr) for c in chunks]
+        offs = [getattr(c, off_attr) for c in chunks]
+        total = np.concatenate([flats[0]] + flats[1:]) if flats else None
+        n = sum(len(c) for c in chunks)
+        out_off = np.zeros(n + 1, np.int64)
+        i = 0
+        base = 0
+        for c, off in zip(chunks, offs):
+            k = len(c)
+            out_off[i + 1:i + 1 + k] = base + off[1:]
+            base += off[-1]
+            i += k
+        return total, out_off
+
+    cigar_flat, cigar_off = cat_ragged("cigar_flat", "cigar_off")
+    seq_flat, seq_off = cat_ragged("seq_flat", "seq_off")
+    qual_flat, _ = cat_ragged("qual_flat", "seq_off")
+    blobs = []
+    name_off = np.zeros(sum(len(c) for c in chunks) + 1, np.int64)
+    i = 0
+    base = 0
+    for c in chunks:
+        nm = c.names
+        if isinstance(nm, NameView):
+            blob, off = nm.blob, nm.off
+        else:
+            blob = b"".join(nm)
+            off = np.zeros(len(nm) + 1, np.int64)
+            np.cumsum([len(x) for x in nm], out=off[1:])
+        blobs.append(blob)
+        k = len(c)
+        name_off[i + 1:i + 1 + k] = base + off[1:1 + k]
+        base += off[k]
+        i += k
+    names = NameView(b"".join(blobs), name_off)
+    return BamData(
+        ref_names=first.ref_names, ref_lengths=first.ref_lengths,
+        header_text=first.header_text,
+        refid=cat("refid"), pos=cat("pos"), mapq=cat("mapq"),
+        flag=cat("flag"), tlen=cat("tlen"), as_score=cat("as_score"),
+        has_as=cat("has_as"), names=names,
+        cigar_flat=cigar_flat, cigar_off=cigar_off,
+        seq_flat=seq_flat, qual_flat=qual_flat, seq_off=seq_off)
+
+
+def _empty_like_header(ref_names, ref_lengths, header_text) -> BamData:
+    z64 = np.zeros(1, np.int64)
+    return BamData(
+        ref_names=ref_names, ref_lengths=ref_lengths, header_text=header_text,
+        refid=np.zeros(0, np.int32), pos=np.zeros(0, np.int32),
+        mapq=np.zeros(0, np.uint8), flag=np.zeros(0, np.uint16),
+        tlen=np.zeros(0, np.int32), as_score=np.zeros(0, np.int32),
+        has_as=np.zeros(0, bool), names=NameView(b"", z64),
+        cigar_flat=np.zeros(0, np.uint32), cigar_off=z64.copy(),
+        seq_flat=np.zeros(0, np.uint8), qual_flat=np.zeros(0, np.uint8),
+        seq_off=z64.copy())
+
+
+def read_bam_header_meta(path: str):
+    """(ref_names, ref_lengths, header_text) decoding only leading blocks."""
+    from . import native as native_mod
+    lib = native_mod.get_lib()
+    raw = open(path, "rb").read(1 << 22)   # headers are small
+    data = b""
+    off = 0
+    while off < len(raw):
+        try:
+            payload, bsize = bgzf.decompress_block(raw, off)
+        except Exception:
+            break
+        data += payload
+        off += bsize
+        try:
+            return _parse_header_text(data)
+        except _NeedMore:
+            continue
+    # very large header: fall back to whole-file
+    bd = read_bam(path)
+    return bd.ref_names, bd.ref_lengths, bd.header_text
+
+
+class _NeedMore(Exception):
+    pass
+
+
+def _parse_header_text(data: bytes):
+    if len(data) < 8:
+        raise _NeedMore
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    off = 8
+    if len(data) < off + l_text + 4:
+        raise _NeedMore
+    header_text = data[off:off + l_text].split(b"\x00")[0].decode()
+    off += l_text
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    ref_names, ref_lengths = [], []
+    for _ in range(n_ref):
+        if len(data) < off + 4:
+            raise _NeedMore
+        (l_name,) = struct.unpack_from("<i", data, off)
+        off += 4
+        if len(data) < off + l_name + 4:
+            raise _NeedMore
+        ref_names.append(data[off:off + l_name - 1].decode())
+        off += l_name
+        (l_ref,) = struct.unpack_from("<i", data, off)
+        ref_lengths.append(l_ref)
+        off += 4
+    return ref_names, ref_lengths, header_text
+
+
+def _inflate_block_span(raw, offs, uends, bi_lo: int, bi_hi: int,
+                        n_threads: int) -> np.ndarray:
+    """Decompress blocks [bi_lo, bi_hi) of raw into one payload buffer."""
+    import ctypes
+    from . import native as native_mod
+    lib = native_mod.get_lib()
+    cbeg, cend = offs[bi_lo], offs[bi_hi]
+    total = int(uends[bi_hi] - uends[bi_lo]) if bi_hi > bi_lo else 0
+    ubuf = np.empty(max(total, 1), np.uint8)
+    if total == 0:
+        return ubuf[:0]
+    if lib is not None:
+        cs = raw[cbeg:cend]
+        got = lib.bgzf_decompress(cs.ctypes.data_as(ctypes.c_void_p),
+                                  len(cs),
+                                  ubuf.ctypes.data_as(ctypes.c_void_p),
+                                  n_threads)
+        if got == total:
+            return ubuf[:total]
+    parts = []
+    off = int(cbeg)
+    while off < cend:
+        payload, bsize = bgzf.decompress_block(raw.tobytes() if
+                                               isinstance(raw, np.ndarray)
+                                               else raw, off)
+        parts.append(payload)
+        off += bsize
+    return np.frombuffer(b"".join(parts), np.uint8).copy()
+
+
+def _block_tables(raw: bytes):
+    """(offs, uends): per-block compressed offsets (with EOF sentinel) and
+    cumulative uncompressed end offsets (uends[i] = payload bytes before
+    block i; uends[n] = total)."""
+    offs = bgzf.block_offsets(raw)
+    isize = np.empty(len(offs) + 1, np.int64)
+    isize[0] = 0
+    for i, o in enumerate(offs):
+        nxt = offs[i + 1] if i + 1 < len(offs) else len(raw)
+        isize[i + 1] = struct.unpack_from("<I", raw, nxt - 4)[0]
+    offs.append(len(raw))
+    return offs, np.cumsum(isize)
+
+
+def read_bam_voffset_ranges(path: str, vranges: Sequence[Tuple[int, int]],
+                            n_threads: int = 0,
+                            header_meta=None) -> BamData:
+    """Decode ONLY the blocks covered by the given merged voffset ranges
+    (record-aligned, e.g. from BaiIndex.chunks_for_region) and parse their
+    records. File order is preserved; blocks outside every range are never
+    inflated."""
+    import os as _os
+    if n_threads <= 0:
+        n_threads = min(_os.cpu_count() or 1, 8)
+    from . import native as native_mod
+    if native_mod.get_lib() is None:
+        # python fallback: whole-file decode + mask is the simplest exact
+        # behavior (fallback path is for CI only)
+        bd = read_bam(path, native=False)
+        return bd
+    if header_meta is None:
+        header_meta = read_bam_header_meta(path)
+    ref_names, ref_lengths, header_text = header_meta
+    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
+    rawb = raw.tobytes()
+    offs, uends = _block_tables(rawb)
+    import bisect
+    chunks = []
+    for vb, ve in vranges:
+        cb, ub = vb >> 16, vb & 0xFFFF
+        ce, ue = ve >> 16, ve & 0xFFFF
+        bi_lo = bisect.bisect_right(offs, cb) - 1
+        bi_hi = bisect.bisect_right(offs, ce) - 1
+        end_block = bi_hi + (1 if ue > 0 else 0)
+        payload = _inflate_block_span(raw, offs, uends, bi_lo,
+                                      max(end_block, bi_lo), n_threads)
+        beg = ub
+        end = int(uends[bi_hi] - uends[bi_lo]) + ue if ue > 0 else len(payload)
+        window = np.ascontiguousarray(payload[beg:end])
+        lib = native_mod.get_lib()
+        bd, used = _parse_records_v2(lib, window, ref_names, ref_lengths,
+                                     header_text, n_threads)
+        if used != len(window):
+            raise RuntimeError("voffset range not record-aligned in %s"
+                               % path)
+        chunks.append(bd)
+    if not chunks:
+        return _empty_like_header(ref_names, ref_lengths, header_text)
+    return concat_bam(chunks)
+
+
+def read_bam_starts(path: str, tid: int, lo: int, hi: int, bai: BaiIndex,
+                    n_threads: int = 0, window_bytes: int = 64 * 1024 * 1024,
+                    header_meta=None) -> BamData:
+    """All reads of reference `tid` whose START (0-based pos) lies in
+    [lo, hi) — the position-range engine shard unit.  The scan begins at
+    the linear-index voffset for lo's window and stops at the first record
+    past hi (reads are coordinate-sorted), so only the byte range that can
+    contain the shard's reads is ever inflated."""
+    import os as _os
+    if n_threads <= 0:
+        n_threads = min(_os.cpu_count() or 1, 8)
+    if header_meta is None:
+        header_meta = read_bam_header_meta(path)
+    ref_names, ref_lengths, header_text = header_meta
+    from . import native as native_mod
+    lib = native_mod.get_lib()
+    if lib is None:
+        bd = read_bam(path, native=False)
+        keep = (bd.refid == tid) & (bd.pos >= lo) & (bd.pos < hi)
+        return bd.select(keep)
+    sv = bai.start_voff(tid, lo)
+    if sv is None:
+        return _empty_like_header(ref_names, ref_lengths, header_text)
+    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
+    rawb = raw.tobytes()
+    offs, uends = _block_tables(rawb)
+    import bisect
+    cb, ub = sv >> 16, sv & 0xFFFF
+    bi = bisect.bisect_right(offs, cb) - 1
+    skip = ub
+    kept = []
+    carry = np.zeros(0, np.uint8)
+    n_blocks = len(offs) - 1
+    while bi < n_blocks:
+        end_bi = bi
+        while end_bi < n_blocks and offs[end_bi + 1] - offs[bi] <= \
+                window_bytes:
+            end_bi += 1
+        end_bi = max(end_bi, bi + 1)
+        payload = _inflate_block_span(raw, offs, uends, bi, end_bi,
+                                      n_threads)
+        data = payload[skip:]
+        skip = 0
+        if len(carry):
+            data = np.concatenate([carry, data])
+        bd, used = _parse_records_v2(lib, np.ascontiguousarray(data),
+                                     ref_names, ref_lengths, header_text,
+                                     n_threads)
+        carry = data[used:].copy()
+        bi = end_bi
+        if len(bd):
+            keep = (bd.refid == tid) & (bd.pos >= lo) & (bd.pos < hi)
+            if keep.any():
+                kept.append(bd.select(keep))
+            last_rid = int(bd.refid[-1])
+            last_pos = int(bd.pos[-1])
+            if last_rid > tid or last_rid < 0 or \
+                    (last_rid == tid and last_pos >= hi):
+                break
+    if not kept:
+        return _empty_like_header(ref_names, ref_lengths, header_text)
+    return concat_bam(kept)

@@ -89,17 +89,25 @@ def compact_hits(vidx: jax.Array, allele: jax.Array,
     return out_r, out_v, out_a, n_hits
 
 
-_pack_bufs: dict = {}
+import threading as _threading
+
+_pack_tls = _threading.local()  # per-thread scratch: shard threads (the
+# device-enabled multi-shard engine) each pack concurrently; a shared dict
+# would hand one thread's live view to another mid-upload
 
 
 def _reuse_buf(tag: str, n: int, L: int, dtype) -> np.ndarray:
-    """Cached (n, L) scratch view; grown geometrically, pages stay hot."""
+    """Cached (n, L) scratch view; grown geometrically, pages stay hot.
+    Thread-local: safe under concurrent shard-engine packers."""
+    bufs = getattr(_pack_tls, "bufs", None)
+    if bufs is None:
+        bufs = _pack_tls.bufs = {}
     need = n * L
-    flat = _pack_bufs.get(tag)
+    flat = bufs.get(tag)
     if flat is None or flat.size < need:
         cap = max(need, 2 * (flat.size if flat is not None else 0), 1)
         flat = np.empty(cap, dtype)
-        _pack_bufs[tag] = flat
+        bufs[tag] = flat
     return flat[:need].reshape(n, L)
 
 
@@ -747,16 +755,28 @@ def _pallas_windowed_call(codes_p, quals_p, refpos_p, ws, vpos, ind_codes,
                           n_ind, *, baseq: int, block_rows: int,
                           algo: str, interpret: bool):
     """jit-composable core of the windowed kernel: all-jnp table padding +
-    the pallas_call.  codes_p/quals_p/refpos_p are (NB, L) int32 with NB a
-    multiple of block_rows; ws is the (NB/block_rows,) int32 128-aligned
-    window-offset array (host-planned)."""
+    the pallas_call.  codes_p/quals_p/refpos_p are (NB, L) int32; rows are
+    padded here to a multiple of block_rows (refpos pads to 0, so padded
+    rows can never produce hits) and the outputs sliced back, so callers
+    may pass arbitrary row counts; ws is the (ceil(NB/block_rows),) int32
+    128-aligned window-offset array (host-planned — plan_windows_affine /
+    plan_windows_plane already use the ceil block count)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     NB, L = codes_p.shape
     M = int(vpos.shape[0])
     R = block_rows
-    n_blocks = NB // R
+    n_blocks = -(-NB // R)
+    if ws.shape[0] != n_blocks:
+        raise ValueError("window-offset array has %d entries for %d blocks"
+                         % (ws.shape[0], n_blocks))
+    pad_rows = n_blocks * R - NB
+    if pad_rows:
+        codes_p = jnp.pad(codes_p, ((0, pad_rows), (0, 0)),
+                          constant_values=15)
+        quals_p = jnp.pad(quals_p, ((0, pad_rows), (0, 0)))
+        refpos_p = jnp.pad(refpos_p, ((0, pad_rows), (0, 0)))
     W = _WIN
     # pad table so every window [ws, ws+W) is in range
     Mp = ((M + 127) // 128) * 128 + W
@@ -773,6 +793,7 @@ def _pallas_windowed_call(codes_p, quals_p, refpos_p, ws, vpos, ind_codes,
     body = (_alleles_pallas_cmp_kernel if algo == "cmp"
             else _alleles_pallas_windowed_kernel)
     kernel = functools.partial(body, baseq=baseq)
+    NBp = n_blocks * R
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -786,13 +807,14 @@ def _pallas_windowed_call(codes_p, quals_p, refpos_p, ws, vpos, ind_codes,
         scratch_shapes=[pltpu.VMEM((2, W // 2), jnp.int32)] * 4 +
                        [pltpu.SemaphoreType.DMA((8,))],
     )
-    return pl.pallas_call(
+    vidx, allele = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((NB, L), jnp.int32),
-                   jax.ShapeDtypeStruct((NB, L), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((NBp, L), jnp.int32),
+                   jax.ShapeDtypeStruct((NBp, L), jnp.int32)),
         interpret=interpret,
     )(ws, vpos_p, a0_p, a1_p, ni_p, codes_p, quals_p, refpos_p)
+    return vidx[:NB], allele[:NB]
 
 
 def plan_windows_affine(start, lo, hi, aff, vpos_host, n_rows: int,

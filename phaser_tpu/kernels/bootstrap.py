@@ -99,6 +99,13 @@ def bootstrap_cis_device(cohorts: List[np.ndarray], bs: int,
     single launch; pow2-padded batch and cohort dims).
 
     Returns (lower, upper, p) per cohort; empty cohorts give nans.
+
+    PRNG contract: results are deterministic per (seed, bs, cohort set) but
+    NOT stable across releases — the chunked-batch rework (fixed 2048-row
+    bucket) made every run derive per-chunk keys via jax.random.split, so a
+    given bs_seed yields different CI draws than pre-chunking releases
+    (including single-chunk runs, which now use split(key)[1] rather than
+    the root key). Documented contract is determinism per seed only.
     """
     from ..utils.jaxtune import enable_compile_cache
     enable_compile_cache()  # the compile is the cost; persist it across runs

@@ -368,8 +368,11 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
                         jc, jnp.asarray(ss), jnp.asarray(ls),
                         jnp.asarray(hs), jnp.asarray(ws), jv, ji, jn, cap)
                 else:
+                    # L is the PACKED plane width for the nibble path (two
+                    # bases/byte): first-run cap must bound true base count
+                    n_bases = Np * L * (2 if kind == "affine_nib" else 1)
                     fb_key = (kind, Np, L)
-                    cap = _adaptive_cap(fb_key, Np * L)
+                    cap = _adaptive_cap(fb_key, n_bases)
                     packed = kern(
                         jc, jnp.asarray(ss), jnp.asarray(ls),
                         jnp.asarray(hs), jv, ji, jn, cap)

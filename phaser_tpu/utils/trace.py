@@ -27,16 +27,25 @@ from typing import Dict, List, Optional
 # claims falsifiable on tunnel-bound boxes and real ICI hosts alike.
 _DEVICE_SECONDS = 0.0
 _DEVICE_LOCK = threading.Lock()
+_tls = threading.local()
 
 
 def add_device_time(seconds: float) -> None:
     global _DEVICE_SECONDS
     with _DEVICE_LOCK:
         _DEVICE_SECONDS += seconds
+    _tls.seconds = getattr(_tls, "seconds", 0.0) + seconds
 
 
 def device_seconds() -> float:
     return _DEVICE_SECONDS
+
+
+def thread_device_seconds() -> float:
+    """Device-path seconds accumulated by THIS thread — the per-shard
+    number when shard engines run on threads (each engine's device
+    launch/wait/fetch all happen on its own thread under --device auto)."""
+    return getattr(_tls, "seconds", 0.0)
 
 
 @contextlib.contextmanager
@@ -70,7 +79,7 @@ class Tracer:
 
     def __post_init__(self):
         self._t0 = time.perf_counter()
-        self._dev0 = device_seconds()
+        self._dev0 = thread_device_seconds()
         prof_dir = os.environ.get("PHASER_TPU_PROFILE_DIR")
         if prof_dir:
             try:
@@ -104,8 +113,10 @@ class Tracer:
         return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
     def device_share(self) -> tuple:
-        """(device_path_seconds, wall_seconds) since this tracer started."""
-        return (device_seconds() - self._dev0,
+        """(device_path_seconds, wall_seconds) since this tracer started —
+        device seconds are THREAD-scoped, so concurrent shard engines each
+        report only their own device time."""
+        return (thread_device_seconds() - self._dev0,
                 time.perf_counter() - self._t0)
 
     def summary_lines(self) -> List[str]:

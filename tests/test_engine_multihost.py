@@ -87,10 +87,32 @@ def test_thread_sharded_more_shards_than_contigs(tmp_path):
         assert got[k] == want[k]
 
 
-def test_multiprocess_engine_bit_identical(tmp_path):
-    """TRUE 2-process run (jax.distributed + Gloo collectives): the full
-    engine per contig shard, globally-reduced noise/AS/rows/blocks, merged
-    outputs byte-identical to the single-process run."""
+def test_thread_sharded_device_auto_bit_identical(tmp_path):
+    """Sharded engine with DEVICE kernels (device='auto'): every shard
+    thread drives the shared jax device through mapper.dispatch; outputs
+    must still be byte-identical to the single-process HOST run, and each
+    shard must report its own device-path seconds."""
+    vcf, bam, _ = _fixture(tmp_path)
+    want = _single(vcf, bam, str(tmp_path / "single"))
+    res = run_phaser_sharded_threads(
+        n_shards=2, vcf=vcf, bam=bam, sample="SAMPLE1",
+        o=str(tmp_path / "shdev"), mapq="10", baseq=10, paired_end="1",
+        opts=PhaserOptions(), device="auto", log=lambda *a: None)
+    got = _snapshot(str(tmp_path / "shdev"))
+    for k in want:
+        assert got[k] == want[k], \
+            "file %s differs (device=auto sharded vs host single)" % k
+    assert len(res.shard_device) == 2
+    for dev_s, wall_s in res.shard_device:
+        assert dev_s > 0.0, "shard reported no device-path time under auto"
+        assert wall_s >= dev_s
+
+
+def test_multiprocess_engine_device_auto_bit_identical(tmp_path):
+    """TRUE 2-process run (jax.distributed + Gloo collectives) on the
+    DEVICE path (--device auto): the full engine per contig shard with
+    per-process device kernels, globally-reduced noise/AS/rows/blocks,
+    merged outputs byte-identical to the single-process host run."""
     vcf, bam, _ = _fixture(tmp_path)
     want = _single(vcf, bam, str(tmp_path / "single"))
 
@@ -104,15 +126,99 @@ def test_multiprocess_engine_bit_identical(tmp_path):
         cmd = [sys.executable, "-m", "phaser_tpu.dist.engine_multihost",
                "--bam", bam, "--vcf", vcf, "--sample", "SAMPLE1",
                "--o", prefix, "--num-processes", "2",
-               "--process-id", str(pid),
+               "--process-id", str(pid), "--device", "auto",
                "--coordinator", "localhost:%d" % port]
         env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
         procs.append(subprocess.Popen(cmd, cwd=repo, env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
+    outs = []
     for p in procs:
         out, _ = p.communicate(timeout=300)
+        outs.append(out)
         assert p.returncode == 0, out[-3000:]
     got = _snapshot(prefix)
     for k in want:
         assert got[k] == want[k], "file %s differs (2-process vs single)" % k
+    # per-shard device fraction is reported by each process
+    for out in outs:
+        done = [l for l in out.splitlines()
+                if l.startswith("MULTIHOST_ENGINE_DONE")]
+        assert done and "device_s=" in done[0]
+        dev_s = float(done[0].split("device_s=")[1].split()[0])
+        assert dev_s > 0.0, done[0]
+
+
+# ---------------------------------------------------------------------------
+# distributed exact AS quantile (histogram + boundary-bucket refinement)
+
+def _dist_percentile(shard_values, q, small=0):
+    """Run ThreadReducer.as_percentile across real threads, assert every
+    shard returns the same value, and return it."""
+    import threading
+    import numpy as np
+    from phaser_tpu.dist.engine_multihost import ThreadReducer, _ThreadGroup
+
+    n = len(shard_values)
+    group = _ThreadGroup(n)
+    out = [None] * n
+    errs = []
+
+    def worker(sid):
+        red = ThreadReducer(group, sid, {})
+        red._AS_SMALL = small
+        try:
+            out[sid] = red.as_percentile(np.asarray(shard_values[sid],
+                                                    np.float64), q)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+            group.abort()
+
+    ts = [threading.Thread(target=worker, args=(s,)) for s in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert all(v == out[0] for v in out), out
+    return out[0]
+
+
+def test_as_percentile_distributed_exact():
+    """Histogram-refinement percentile must be BIT-identical to
+    np.percentile on the concatenated vector — adversarial ties, skewed
+    shards, empty shards, extreme ranges, interpolation boundaries."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    cases = [
+        # (shards, list of q values)
+        ([rng.normal(40, 5, 5000), rng.normal(60, 1, 3000)],
+         [0.0, 5.0, 37.3, 50.0, 95.0, 100.0]),
+        # heavy ties: only a few distinct values, boundary buckets huge
+        ([np.repeat([1.0, 2.0, 2.0, 3.0], 2000),
+          np.repeat([2.0], 4000)], [5.0, 25.0, 50.0, 75.0]),
+        # one empty shard + integer AS scores (the real workload)
+        ([np.zeros(0), rng.integers(0, 120, 9000).astype(np.float64)],
+         [5.0, 50.0]),
+        # extreme dynamic range
+        ([np.array([1e-30, 2e-30, 1e30]), rng.uniform(0, 1, 5000)],
+         [5.0, 99.9]),
+        # all-equal values (degenerate span)
+        ([np.full(3000, 7.25), np.full(2000, 7.25)], [5.0, 50.0]),
+        # three shards, pathological skew
+        ([rng.uniform(0, 1, 8000), np.array([0.5]), np.zeros(0)],
+         [4.99999, 95.00001]),
+    ]
+    for shards, qs in cases:
+        allv = np.concatenate(shards)
+        for q in qs:
+            want = float(np.percentile(allv, q))
+            got = _dist_percentile(shards, q, small=0)
+            assert got == want, (q, got, want, len(allv))
+    # small-count path (single full gather) also exact
+    small_shards = [rng.normal(0, 1, 50), rng.normal(5, 1, 30)]
+    want = float(np.percentile(np.concatenate(small_shards), 5.0))
+    assert _dist_percentile(small_shards, 5.0, small=8192) == want
+    # empty everywhere -> None
+    assert _dist_percentile([np.zeros(0), np.zeros(0)], 5.0) is None

@@ -644,3 +644,43 @@ def test_plane_windowed_fused_matches_xla_plane(tmp_path):
     assert rw[4] == rn[4] and rw[4] > 30, (rw[4], rn[4])
     for a, b in zip(rw[:4], rn[:4]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_plane_windowed_non_multiple_rows():
+    """Row counts that are NOT a multiple of block_rows must still classify
+    every tail row (round-3 advisor finding: the grid used floor(NB/R), so
+    tail rows' outputs were never written and _pack_hits read garbage)."""
+    import jax.numpy as jnp
+    from phaser_tpu.kernels.alleles import (_plane_windowed_impl,
+                                            assign_compact_plane,
+                                            decode_packed_hits,
+                                            plan_windows_plane)
+
+    rng = np.random.default_rng(15)
+    N, L, M = 300, 128, 128
+    assert N % 256 != 0, "must exercise a ragged tail"
+    starts = np.sort(rng.integers(1, 40000, size=N)).astype(np.int32)
+    refpos = starts[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    codes = rng.integers(1, 16, size=(N, L)).astype(np.uint8)
+    quals = rng.integers(0, 40, size=(N, L)).astype(np.uint8)
+    vpos = np.sort(rng.choice(np.arange(1, 41000, dtype=np.int64), size=M,
+                              replace=False)).astype(np.int32)
+    ind = rng.integers(1, 9, size=(M, 2)).astype(np.uint8)
+    ni = np.full(M, 2, np.int8)
+    ws = plan_windows_plane(refpos, vpos, min(256, N))
+    assert ws is not None and ws.shape[0] == 2
+    cap = 1 << 13
+    pw = _plane_windowed_impl(
+        jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos),
+        jnp.asarray(ws), jnp.asarray(vpos), jnp.asarray(ind),
+        jnp.asarray(ni), 10, cap, interpret=True)
+    pn = assign_compact_plane(
+        jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos),
+        jnp.asarray(vpos), jnp.asarray(ind), jnp.asarray(ni), 10, cap)
+    rw = decode_packed_hits(np.asarray(pw))
+    rn = decode_packed_hits(np.asarray(pn))
+    assert rw[4] == rn[4] and rw[4] > 30, (rw[4], rn[4])
+    # tail rows (index >= 256) must appear among the hits of BOTH paths
+    assert rn[0].max() >= 256 and rw[0].max() >= 256
+    for a, b in zip(rw[:4], rn[:4]):
+        np.testing.assert_array_equal(a, b)
