@@ -192,6 +192,26 @@ class _ReducerBase:
             seq += n
         return [mine[k] for k in range(len(entries))]
 
+    def exchange_rows(self, outgoing, owned) -> list:
+        """Position-sharded runs: move mapper-row bundles of
+        decoded-but-not-owned contigs to their owner shard.
+
+        outgoing: [(contig, bam_i, range_rank, bundle)] produced by this
+        shard for contigs it does not own; returns the same-shaped list of
+        every shard's entries whose contig is in `owned` (shard-order
+        iteration keeps duplicates impossible: each (contig, bam, rank)
+        is produced by exactly one decoder).  Implemented over the one
+        allgather primitive; at 2-8 shards the all-to-all overhead over a
+        true point-to-point is a small constant factor on row bundles
+        (hits are ~1-2% of read bytes)."""
+        parts = self._allgather(("rows_x", outgoing))
+        mine = []
+        for p in parts:
+            for t in p[1]:
+                if t[0] in owned:
+                    mine.append(t)
+        return mine
+
     def block_base(self, n_blocks: int) -> int:
         parts = self._allgather(("blocks", int(n_blocks)))
         return sum(p[1] for p in parts[: self.shard_id])
@@ -384,7 +404,8 @@ def run_phaser_sharded_threads(*, n_shards: int, vcf: str, bam: str,
                                sample: str, o: str, mapq: str, baseq: int,
                                paired_end: str, chrom: str = "",
                                opts: Optional[PhaserOptions] = None,
-                               device: str = "host", log=print,
+                               device: str = "host",
+                               position_shards: bool = False, log=print,
                                **kw) -> PhaserResult:
     """In-process sharded run: n_shards engine threads + ThreadReducer.
 
@@ -402,7 +423,15 @@ def run_phaser_sharded_threads(*, n_shards: int, vcf: str, bam: str,
         from ..utils.jaxtune import enable_compile_cache
         enable_compile_cache()
     contigs = chrom.split(",") if chrom else list_contigs(vcf)
-    n_shards = max(1, min(n_shards, len(contigs)))
+    plans = None
+    if position_shards:
+        # weight-balanced (contig, position-range) shards: n_shards may
+        # exceed n_contigs, skewed contigs split at window granularity
+        from .shard_plan import plan_shards
+        n_shards = max(1, n_shards)
+        plans = plan_shards(bam, contigs, n_shards)
+    else:
+        n_shards = max(1, min(n_shards, len(contigs)))
     assign = split_contigs(contigs, n_shards)
     rank_of = {c: i for i, c in enumerate(contigs)}
     group = _ThreadGroup(n_shards)
@@ -415,7 +444,9 @@ def run_phaser_sharded_threads(*, n_shards: int, vcf: str, bam: str,
             results[sid] = run_phaser(
                 vcf=vcf, bam=bam, sample=sample, o=o + ".shard%d" % sid,
                 mapq=mapq, baseq=baseq, paired_end=paired_end,
-                chrom=_shard_chrom(assign, sid), opts=opts, device=device,
+                chrom="" if plans else _shard_chrom(assign, sid),
+                shard_plan=plans[sid] if plans else None,
+                opts=opts, device=device,
                 dist_reduce=red, split_outputs=True,
                 log=log if sid == 0 else (lambda *a: None), **kw)
         except BaseException as e:  # noqa: BLE001 - must unblock peers
@@ -443,12 +474,15 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
                          coordinator: str = "localhost:9711",
                          platform: str = "cpu", chrom: str = "",
                          opts: Optional[PhaserOptions] = None,
-                         device: str = "host", log=print,
+                         device: str = "host",
+                         position_shards: bool = False, log=print,
                          **kw) -> PhaserResult:
     """One engine shard per jax process; rank 0 merges after a barrier.
 
     platform='cpu' runs the collectives over Gloo; on a real slice pass
     platform='' (leave the TPU runtime) and launch one process per host.
+    position_shards=True computes the SAME weight-balanced
+    (contig, position-range) plan on every process from the BAM index.
     """
     import jax
     if platform:
@@ -459,13 +493,19 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
                                    process_id=process_id)
     opts = opts or PhaserOptions()
     contigs = chrom.split(",") if chrom else list_contigs(vcf)
+    plans = None
+    if position_shards:
+        from .shard_plan import plan_shards
+        plans = plan_shards(bam, contigs, num_processes)
     assign = split_contigs(contigs, min(num_processes, len(contigs)))
     rank_of = {c: i for i, c in enumerate(contigs)}
     red = MultihostReducer(rank_of)
     res = run_phaser(
         vcf=vcf, bam=bam, sample=sample, o=o + ".shard%d" % process_id,
         mapq=mapq, baseq=baseq, paired_end=paired_end,
-        chrom=_shard_chrom(assign, process_id), opts=opts, device=device,
+        chrom="" if plans else _shard_chrom(assign, process_id),
+        shard_plan=plans[process_id] if plans else None,
+        opts=opts, device=device,
         dist_reduce=red, split_outputs=True,
         log=log if process_id == 0 else (lambda *a: None), **kw)
     red.barrier()   # every shard's files are on disk before the merge
@@ -493,13 +533,17 @@ def _mp_main(argv=None) -> int:
                     help="'auto' drives this process's chip through "
                          "mapper.dispatch, exactly like the single-process "
                          "engine; 'host' = CPU compute")
+    ap.add_argument("--position-shards", action="store_true",
+                    help="weight-balanced (contig, position-range) shards "
+                         "from the BAM index instead of whole contigs")
     args = ap.parse_args(argv)
     res = run_phaser_multihost(
         vcf=args.vcf, bam=args.bam, sample=args.sample, o=args.o,
         mapq=args.mapq, baseq=args.baseq, paired_end=args.paired_end,
         num_processes=args.num_processes, process_id=args.process_id,
         coordinator=args.coordinator, platform=args.platform,
-        chrom=args.chr, device=args.device)
+        chrom=args.chr, device=args.device,
+        position_shards=args.position_shards)
     print("MULTIHOST_ENGINE_DONE shard=%d reads=%d noise=%.8f "
           "device_s=%.3f wall_s=%.3f"
           % (args.process_id, res.total_reads, res.noise_e,

@@ -69,25 +69,43 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                opts: Optional[PhaserOptions] = None, device: str = "host",
                pi_block_value: int = 0, threads: int = 1,
                dist_reduce=None, split_outputs: bool = False,
-               log=print) -> PhaserResult:
+               shard_plan=None, log=print) -> PhaserResult:
     """dist_reduce: optional cross-shard reducer (dist.engine_multihost)
-    implementing the engine's four global merge points, called in a FIXED
+    implementing the engine's global merge points, called in a FIXED
     order on every shard (collectives block until all shards arrive):
 
       1. `as_percentile(scores, q)` per bam — the AS-score quantile over
          all shards (/root/reference/phaser/phaser.py:540-553)
-      2. `row_offsets(entries)` — global (bam, contig, entry) row-sequence
+      2. `exchange_rows(...)` — position-sharded runs only: mapper rows of
+         decoded-but-not-owned contigs move to the contig's owner
+      3. `row_offsets(entries)` — global (bam, contig, entry) row-sequence
          placement, so first_seen ordering and uids match the
          single-process run exactly
-      3. `noise(bm, bmm)` — the global sequencing-noise estimate merged
+      4. `noise(bm, bmm)` — the global sequencing-noise estimate merged
          before any shard tests edges (:610-632)
-      4. `block_base(n_blocks)` — exclusive prefix sum of per-shard block
+      5. `block_base(n_blocks)` — exclusive prefix sum of per-shard block
          counts, keeping PI block indices globally unique and ordered
 
     split_outputs: write globally-sorted sections (singletons, allelic
     counts) as keyed `.part` files for the cross-shard merge instead of
-    appending them to the per-shard outputs."""
+    appending them to the per-shard outputs.
+
+    shard_plan: optional dist.shard_plan.ShardPlan — this shard DECODES
+    reads whose start lies in plan.decode's (contig, position-range)s,
+    classifies them against the FULL per-contig variant table (so
+    boundary-spanning reads keep every hit without a halo), ships rows of
+    non-owned contigs to their owners through dist_reduce.exchange_rows,
+    and runs graph stages + outputs only for plan.own contigs.  Requires
+    dist_reduce.  The reference caps parallelism at one worker per contig
+    (phaser.py:62); the plan removes that cap."""
     opts = opts or PhaserOptions()
+    if shard_plan is not None:
+        if dist_reduce is None:
+            raise ValueError("shard_plan requires dist_reduce")
+        # parse variant tables for every contig this shard touches; the
+        # graph/output stages below restrict themselves to plan.own
+        touched = sorted(set(shard_plan.decode) | set(shard_plan.own))
+        chrom = ",".join(touched) if touched else "\x00none"
     t0 = time.time()
     res = PhaserResult()
     tracer = Tracer()
@@ -176,6 +194,15 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                            "were included in the analysis")
 
     contig_order = list(hs.pool.keys())
+    if shard_plan is not None:
+        decode_order = [c for c in contig_order if c in shard_plan.decode]
+        own_order = [c for c in contig_order if c in shard_plan.own]
+        # result counters describe this shard's OWNED contigs (summed
+        # across shards by the driver); unphased/filter counts remain the
+        # touched-set parse counts (summary cosmetics only)
+        res.het_count = sum(tables[c].het_count for c in own_order)
+    else:
+        decode_order = own_order = contig_order
 
     # ---- #2 read retrieval + allele mapping
     log("#2. Retrieving reads that overlap heterozygous sites...")
@@ -234,7 +261,53 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     results = [_one(w) for w in work]
             for c, chunk, pending in results:
                 tracer.add("#2 allele assignment", len(chunk), "reads")
-                per_contig_bam_hits[c].append((bam_i, chunk, pending))
+                per_contig_bam_hits[c].append(
+                    (bam_i, chunk, pending, len(per_contig_bam_hits[c])))
+
+        def _process_planned_bam(bam_i, xbam, mq, isz, excl_flag, req_flag):
+            """Position-range decode (shard_plan): only this shard's
+            (contig, range) spans are inflated, via the BAI linear index
+            (io.bam_index.read_bam_starts); reads classify against the
+            FULL contig table so boundary-spanning reads lose nothing."""
+            from ..io.bam_index import (BaiIndex, ensure_bai,
+                                        read_bam_header_meta, read_bam_starts)
+            meta = read_bam_header_meta(xbam)
+            ref_names = meta[0]
+            bai_p = ensure_bai(xbam)
+            bai = BaiIndex.from_path(bai_p) if bai_p else None
+            full_bd = None if bai is not None else bamio.read_bam(xbam)
+            for c in decode_order:
+                vt = tables[c]
+                if vt.chrom in ref_names:
+                    tid = ref_names.index(vt.chrom)
+                elif c in ref_names:
+                    tid = ref_names.index(c)
+                else:
+                    continue
+                for rank, (lo, hi) in zip(shard_plan.range_rank[c],
+                                          shard_plan.decode[c]):
+                    hi_eff = hi
+                    with tracer.stage("#2 bam decode", "reads"):
+                        if bai is not None:
+                            bd = read_bam_starts(xbam, tid, lo, hi_eff, bai,
+                                                 header_meta=meta)
+                        else:
+                            # no-index fallback (CI): whole decode + mask
+                            bd = full_bd.select(
+                                (full_bd.refid == tid) &
+                                (full_bd.pos >= lo) & (full_bd.pos < hi_eff))
+                    tracer.add("#2 bam decode", len(bd), "reads")
+                    keep = (((bd.flag & excl_flag) == 0) &
+                            ((bd.flag & req_flag) == req_flag) &
+                            (bd.mapq >= int(mq)))
+                    chunk = bd.select(keep)
+                    with tracer.stage("#2 allele assignment", "reads"):
+                        pending = assign_alleles_auto(
+                            chunk, vt, baseq=baseq, splice=True,
+                            isize_cutoff=isz, device=device, defer=True)
+                    tracer.add("#2 allele assignment", len(chunk), "reads")
+                    per_contig_bam_hits[c].append(
+                        (bam_i, chunk, pending, rank))
 
         for bam_i, (xbam, mq, isz, pe) in enumerate(
                 zip(bam_list, mapq_list, isize_list, paired_list)):
@@ -244,20 +317,26 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             if opts.remove_dups == 1:
                 excl_flag |= bamio.FLAG_DUP
             req_flag = bamio.FLAG_PROPER_PAIR if int(pe) == 1 else 0
-            from ..utils.memtune import bgzf_uncompressed_size
-            usize = bgzf_uncompressed_size(xbam)
-            if usize > stream_threshold:
-                log("          streaming decode (%.1f GB uncompressed)"
-                    % (usize / 1e9))
-                from ..utils.prefetch import iter_prefetch
-                for bd in iter_prefetch(bamio.iter_bam_stream(xbam), depth=2):
+            if shard_plan is not None:
+                _process_planned_bam(bam_i, xbam, mq, isz, excl_flag,
+                                     req_flag)
+            else:
+                from ..utils.memtune import bgzf_uncompressed_size
+                usize = bgzf_uncompressed_size(xbam)
+                if usize > stream_threshold:
+                    log("          streaming decode (%.1f GB uncompressed)"
+                        % (usize / 1e9))
+                    from ..utils.prefetch import iter_prefetch
+                    for bd in iter_prefetch(bamio.iter_bam_stream(xbam),
+                                            depth=2):
+                        tracer.add("#2 bam decode", len(bd), "reads")
+                        _process_chunk(bam_i, bd, mq, isz, excl_flag,
+                                       req_flag)
+                else:
+                    with tracer.stage("#2 bam decode", "reads"):
+                        bd = bamio.read_bam(xbam)
                     tracer.add("#2 bam decode", len(bd), "reads")
                     _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag)
-            else:
-                with tracer.stage("#2 bam decode", "reads"):
-                    bd = bamio.read_bam(xbam)
-                tracer.add("#2 bam decode", len(bd), "reads")
-                _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag)
             for c in contig_order:
                 log("               completed chromosome %s..." % tables[c].chrom)
             as_scores_per_bam[bam_i] = []
@@ -274,8 +353,8 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             resolved = resolve_all([per_contig_bam_hits[c][ei][2]
                                     for c, ei in flat])
             for (c, ei), hits in zip(flat, resolved):
-                bam_i, chunk, _ = per_contig_bam_hits[c][ei]
-                per_contig_bam_hits[c][ei] = (bam_i, chunk, hits)
+                bam_i, chunk, _, rank = per_contig_bam_hits[c][ei]
+                per_contig_bam_hits[c][ei] = (bam_i, chunk, hits, rank)
                 tracer.add("#2 hit resolve", len(hits), "hits")
                 if len(hits):
                     ha = chunk.has_as[hits.read_idx]
@@ -306,34 +385,62 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     log("          using alignment score cutoff of %d" % cutoff)
             as_cutoffs[bam_i] = cutoff
 
+        # position-sharded runs: ship mapper rows of decoded-but-not-owned
+        # contigs to their owner (one allgather; each shard keeps only its
+        # owned contigs' entries), then sort every owned contig's entries
+        # into global (bam, range_rank) order — identical to the
+        # single-process (bam, position) scan order
+        if shard_plan is not None:
+            from .row_exchange import bundle_entry, unbundle_entry
+            owned = set(own_order)
+            outgoing = []
+            for c in decode_order:
+                if c in owned:
+                    continue
+                for (b, chunk, hits, rank) in per_contig_bam_hits[c]:
+                    outgoing.append((c, b, rank, bundle_entry(chunk, hits)))
+                per_contig_bam_hits[c] = []
+            with tracer.stage("#2 row exchange", "rows"):
+                incoming = dist_reduce.exchange_rows(outgoing, owned)
+                for c, b, rank, bundle in incoming:
+                    chunk, hits = unbundle_entry(bundle)
+                    per_contig_bam_hits[c].append((b, chunk, hits, rank))
+                    tracer.add("#2 row exchange", len(hits), "rows")
+            for c in own_order:
+                per_contig_bam_hits[c].sort(key=lambda t: (t[0], t[3]))
+
         # global row sequence offsets: bam-major, then contig, then entry/row.
         # row_seq values feed first_seen (output row ordering) and uid
         # assignment, so under a multi-shard run each shard must place its
         # entries at the offsets the single-process run would have used —
         # dist_reduce.row_offsets allgathers every shard's per-entry counts
-        # and positions them in global (bam, contig_rank, entry) order.
+        # and positions them in global (bam, contig_rank, entry_key) order,
+        # where entry_key is the scan index (contig shards) or the global
+        # range rank (position shards).
         entry_offsets: Dict[str, list] = {c: [None] * len(per_contig_bam_hits[c])
                                           for c in contig_order}
-        entries = []  # (bam_i, contig, entry_i, n_rows) in global scan order
+        entries = []  # (bam_i, contig, pos_idx, entry_key, n_rows)
         for bam_i in range(len(bam_list)):
-            for c in contig_order:
-                for ei, (b, chunk, hits) in enumerate(per_contig_bam_hits[c]):
+            for c in own_order:
+                for ei, (b, chunk, hits, rank) in \
+                        enumerate(per_contig_bam_hits[c]):
                     if b != bam_i or chunk is None:
                         continue
                     n = len(hits)
                     if as_cutoffs[bam_i] is not None and n:
                         kept = chunk.as_score[hits.read_idx] >= as_cutoffs[bam_i]
                         n = int(kept.sum())
-                    entries.append((bam_i, c, ei, n))
+                    entries.append((bam_i, c, ei, rank, n))
         if dist_reduce is not None:
-            offs = dist_reduce.row_offsets(entries)
+            offs = dist_reduce.row_offsets(
+                [(b, c, rank, n) for (b, c, ei, rank, n) in entries])
         else:
             offs = []
             seq = 0
-            for (_, _, _, n) in entries:
+            for (_, _, _, _, n) in entries:
                 offs.append(seq)
                 seq += n
-        for (bam_i, c, ei, n), off in zip(entries, offs):
+        for (bam_i, c, ei, rank, n), off in zip(entries, offs):
             entry_offsets[c][ei] = off
 
         total_reads = 0
@@ -342,17 +449,18 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                 vt = tables[c]
                 per_bam = []
                 offsets = []
-                for ei, (b, chunk, h) in enumerate(per_contig_bam_hits[c]):
+                for ei, (b, chunk, h, rank) in \
+                        enumerate(per_contig_bam_hits[c]):
                     if chunk is not None:
                         per_bam.append((b, chunk, h))
                         offsets.append(entry_offsets[c][ei])
                 rows = build_contig_rows(vt, per_bam, as_cutoffs, offsets)
                 return len(rows), build_variant_reads(rows, excl)
 
-            if pool is not None and len(contig_order) > 1:
-                accumulated = list(pool.map(_accumulate, contig_order))
+            if pool is not None and len(own_order) > 1:
+                accumulated = list(pool.map(_accumulate, own_order))
             else:
-                accumulated = [_accumulate(c) for c in contig_order]
+                accumulated = [_accumulate(c) for c in own_order]
             contig_states = []
             for n_rows, vr in accumulated:
                 total_reads += n_rows
@@ -451,8 +559,13 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                 for i, uid in enumerate(vt.unique_ids):
                     rsid_lookup[uid] = vt.rsids_out[i]
             with tracer.stage("#7 vcf write", "lines"):
+                # position-sharded runs: the per-shard VCF body carries ONLY
+                # owned contigs (decoded-but-not-owned contigs are written by
+                # their owner shard)
+                vcf_chrom = (",".join(own_order) if own_order else "\x00none") \
+                    if shard_plan is not None else chrom
                 res.unphased_phased, res.phase_corrections = write_phased_vcf(
-                    vcf, sample_column, o, chrom, writer.state, opts,
+                    vcf, sample_column, o, vcf_chrom, writer.state, opts,
                     csi_index=csi_index, rsid_lookup=rsid_lookup)
 
         total_time = time.time() - t0

@@ -124,10 +124,17 @@ def generate(seed: int = 0,
     variants: List[SynthVariant] = []
     hap_seqs: Dict[str, Tuple[str, str]] = {}
 
+    # scalar or per-contig sequence (skewed fixtures: one contig can carry
+    # most of the reads/variants to exercise weight-balanced sharding)
+    def _per(v, ci):
+        return int(v[ci]) if isinstance(v, (list, tuple)) else int(v)
+
     for ci, chrom in enumerate(contigs):
-        g = "".join(rng.choice(list(BASES), size=contig_len))
+        clen = _per(contig_len, ci)
+        nvar = _per(n_variants_per_contig, ci)
+        g = "".join(rng.choice(list(BASES), size=clen))
         genome[chrom] = g
-        pos_pool = rng.choice(np.arange(200, contig_len - 200), size=n_variants_per_contig * 3,
+        pos_pool = rng.choice(np.arange(200, clen - 200), size=nvar * 3,
                               replace=False)
         pos_pool = np.sort(pos_pool)
         # enforce min spacing 4 to keep ref spans disjoint
@@ -135,7 +142,7 @@ def generate(seed: int = 0,
         for p in pos_pool[1:]:
             if p - keep[-1] >= 5:
                 keep.append(int(p))
-            if len(keep) >= n_variants_per_contig:
+            if len(keep) >= nvar:
                 break
         hap0b = bytearray(g, "ascii")   # in-place SNP mutation (O(1) each)
         hap1b = bytearray(g, "ascii")
@@ -181,7 +188,8 @@ def generate(seed: int = 0,
 
     sam_header = ["@HD\tVN:1.6\tSO:coordinate"]
     for c in contigs:
-        sam_header.append("@SQ\tSN:%s\tLN:%d" % (c, contig_len))
+        sam_header.append("@SQ\tSN:%s\tLN:%d"
+                          % (c, _per(contig_len, contigs.index(c))))
 
     # ------------------------------------------------------------------
     # reads (separate stream when read_seed given: same genome/variants,
@@ -192,10 +200,10 @@ def generate(seed: int = 0,
     recs: List[Tuple[int, bamio.BamRecord]] = []  # (sortkey, record)
     read_id = 0
     for ci, chrom in enumerate(contigs):
-        for _ in range(n_reads_per_contig):
+        for _ in range(_per(n_reads_per_contig, ci)):
             hap = int(rng.integers(0, 2))
             src = hap_seqs[chrom][hap]
-            start0 = int(rng.integers(0, contig_len - 1200))
+            start0 = int(rng.integers(0, _per(contig_len, ci) - 1200))
             name = "read_%s_%d" % (chrom, read_id)
             read_id += 1
             mapq = int(rng.choice([60, 60, 60, 255, 30, 10]))
@@ -313,7 +321,9 @@ def generate(seed: int = 0,
             str(r.next_pos + 1), str(r.tlen),
             r.seq, "".join(chr(q + 33) for q in r.qual)] + tag_strs))
 
-    return SynthData(list(contigs), {c: contig_len for c in contigs}, genome,
+    return SynthData(list(contigs),
+                     {c: _per(contig_len, i) for i, c in enumerate(contigs)},
+                     genome,
                      variants, sam_lines, sam_header, bam_records, sample)
 
 

@@ -110,9 +110,11 @@ def test_thread_sharded_device_auto_bit_identical(tmp_path):
 
 def test_multiprocess_engine_device_auto_bit_identical(tmp_path):
     """TRUE 2-process run (jax.distributed + Gloo collectives) on the
-    DEVICE path (--device auto): the full engine per contig shard with
-    per-process device kernels, globally-reduced noise/AS/rows/blocks,
-    merged outputs byte-identical to the single-process host run."""
+    DEVICE path (--device auto) with POSITION SHARDS: the full engine per
+    weight-balanced position-range shard with per-process device kernels,
+    globally-reduced noise/AS/rows/blocks plus the cross-process row
+    exchange, merged outputs byte-identical to the single-process host
+    run."""
     vcf, bam, _ = _fixture(tmp_path)
     want = _single(vcf, bam, str(tmp_path / "single"))
 
@@ -127,6 +129,7 @@ def test_multiprocess_engine_device_auto_bit_identical(tmp_path):
                "--bam", bam, "--vcf", vcf, "--sample", "SAMPLE1",
                "--o", prefix, "--num-processes", "2",
                "--process-id", str(pid), "--device", "auto",
+               "--position-shards",
                "--coordinator", "localhost:%d" % port]
         env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
         procs.append(subprocess.Popen(cmd, cwd=repo, env=env,
@@ -222,3 +225,61 @@ def test_as_percentile_distributed_exact():
     assert _dist_percentile(small_shards, 5.0, small=8192) == want
     # empty everywhere -> None
     assert _dist_percentile([np.zeros(0), np.zeros(0)], 5.0) is None
+
+
+# ---------------------------------------------------------------------------
+# position-range sharding (weight-balanced; n_shards > n_contigs)
+
+def _skewed_fixture(tmp_path):
+    """chr1 deliberately carries ~78%% of the reads — whole-contig shards
+    would cap 2-shard efficiency well below target."""
+    return datagen.write_fixture_dir(
+        str(tmp_path), seed=21, contigs=("chr1", "chr2"),
+        contig_len=(150000, 40000), n_variants_per_contig=(160, 40),
+        n_reads_per_contig=(1800, 500))
+
+
+def test_position_sharded_skewed_bit_identical(tmp_path):
+    """4 position shards over 2 skewed contigs (n_shards > n_contigs,
+    beating the reference's one-worker-per-contig cap, phaser.py:62):
+    big contig split at window granularity, rows exchanged to owners,
+    outputs byte-identical to the single-process run."""
+    from phaser_tpu.dist.shard_plan import plan_shards
+    from phaser_tpu.engine.slow_mode import list_contigs
+
+    vcf, bam, _ = _skewed_fixture(tmp_path)
+    want = _single(vcf, bam, str(tmp_path / "single"))
+    plans = plan_shards(bam, list_contigs(vcf), 4)
+    # the skewed contig must actually be split across shards
+    chr1_shards = [i for i, p in enumerate(plans) if "chr1" in p.decode]
+    assert len(chr1_shards) >= 3, plans
+    assert sum(len(p.decode.get("chr1", [])) for p in plans) >= 3
+    # ownership non-decreasing in contig order (merge-order invariant)
+    owners = [i for c in list_contigs(vcf)
+              for i, p in enumerate(plans) if c in p.own]
+    assert owners == sorted(owners)
+
+    res = run_phaser_sharded_threads(
+        n_shards=4, position_shards=True, vcf=vcf, bam=bam,
+        sample="SAMPLE1", o=str(tmp_path / "pos4"), mapq="10", baseq=10,
+        paired_end="1", opts=PhaserOptions(), log=lambda *a: None)
+    got = _snapshot(str(tmp_path / "pos4"))
+    for k in want:
+        assert got[k] == want[k], "file %s differs (position shards)" % k
+    assert res.total_reads > 0
+
+
+def test_position_sharded_multibam(tmp_path):
+    """Position shards x 2 BAMs: the bam-major row-sequence interleave and
+    the last-bam-wins read_vars quirk must survive the row exchange."""
+    vcf, bam, _ = _skewed_fixture(tmp_path)
+    bam2 = bam + "," + bam
+    want = _single(vcf, bam2, str(tmp_path / "single"))
+    run_phaser_sharded_threads(
+        n_shards=3, position_shards=True, vcf=vcf, bam=bam2,
+        sample="SAMPLE1", o=str(tmp_path / "pos3"), mapq="10", baseq=10,
+        paired_end="1", opts=PhaserOptions(), log=lambda *a: None)
+    got = _snapshot(str(tmp_path / "pos3"))
+    for k in want:
+        assert got[k] == want[k], \
+            "file %s differs (position shards, multibam)" % k
