@@ -86,14 +86,96 @@ def make_cis_var_inputs(tmp, rng, matrix_path):
     return vcf_path, pairs_path, map_path
 
 
+def make_hap_counts(tmp, rng, genes, starts, blocks_per_gene=3,
+                    vars_per_block=4, reads_per_var=8):
+    """Synthetic engine haplotypic_counts output at G x blocks_per_gene
+    rows — the INPUT of phaser_gene_ae (the stage bench_pop previously
+    used only as a fixture, never timed)."""
+    path = os.path.join(tmp, "hap_counts.txt")
+    cols = ["contig", "start", "stop", "variants", "variantCount",
+            "variantsBlacklisted", "variantCountBlacklisted", "haplotypeA",
+            "haplotypeB", "aCount", "bCount", "totalCount", "blockGWPhase",
+            "gwStat", "max_haplo_maf", "bam", "aReads", "bReads"]
+    rid = 0
+    with open(path, "w") as f:
+        f.write("\t".join(cols) + "\n")
+        for gi, st in enumerate(starts):
+            for b in range(blocks_per_gene):
+                vpos = sorted(rng.integers(st, st + 1500, vars_per_block)
+                              .tolist())
+                variants = ",".join("chr20_%d_A_G" % p for p in vpos)
+                a_segs, b_segs = [], []
+                sa, sb = set(), set()
+                for _ in vpos:
+                    ia = [str(rid + k) for k in
+                          range(int(rng.integers(1, reads_per_var)))]
+                    rid += len(ia)
+                    ib = [str(rid + k) for k in
+                          range(int(rng.integers(1, reads_per_var)))]
+                    rid += len(ib)
+                    a_segs.append(",".join(ia))
+                    b_segs.append(",".join(ib))
+                    sa.update(ia)
+                    sb.update(ib)
+                gwph = "0|1" if rng.integers(0, 2) else "1|0"
+                f.write("\t".join(map(str, [
+                    "chr20", vpos[0], vpos[-1], variants, len(vpos), "", 0,
+                    ",".join("A" for _ in vpos), ",".join("G" for _ in vpos),
+                    len(sa), len(sb), len(sa) + len(sb), gwph, "1.0", "0.3",
+                    "pop", ";".join(a_segs), ";".join(b_segs)])) + "\n")
+    return path
+
+
+def bench_cold_auto(tmp, bed, vcf_path, pairs_path, map_path, n_pairs):
+    """Run the auto engine in a SUBPROCESS with a fresh (cold) persistent
+    jit cache + warm marker: the cold-aware gate must pick numpy below the
+    cold crossover, so cold auto is never slower than numpy."""
+    import subprocess
+    import sys as _sys
+    sub_pairs = os.path.join(tmp, "pairs_cold_%d.txt" % n_pairs)
+    with open(pairs_path) as f:
+        pl = f.read().splitlines()
+    with open(sub_pairs, "w") as f:
+        f.write("\n".join(pl[:n_pairs + 1]) + "\n")
+    cold_dir = os.path.join(tmp, "cold_jit_%d" % n_pairs)
+    os.makedirs(cold_dir, exist_ok=True)
+    script = (
+        "import sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from phaser_tpu.analysis.cis_var import run_cis_var\n"
+        "t0 = time.perf_counter()\n"
+        "run_cis_var(%r, %r, %r, %r, %r, bs=%d, bs_seed=7, engine='auto')\n"
+        "print('COLD_S %%.3f' %% (time.perf_counter() - t0))\n"
+        % (os.path.dirname(os.path.abspath(__file__)), bed, vcf_path,
+           sub_pairs, map_path, os.path.join(tmp, "cold_%d.txt" % n_pairs),
+           BS))
+    env = dict(os.environ, PHASER_TPU_JIT_CACHE=cold_dir)
+    proc = subprocess.run([_sys.executable, "-c", script], env=env,
+                          capture_output=True, text=True, timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    line = [l for l in proc.stdout.splitlines() if l.startswith("COLD_S")][0]
+    return float(line.split()[1])
+
+
 def main():
     import tempfile
     from phaser_tpu.analysis.cis_var import run_cis_var
     from phaser_tpu.analysis.expr_matrix import run_expr_matrix
+    from phaser_tpu.analysis.gene_ae import run_gene_ae
 
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as tmp:
         d, features, genes, starts = make_gene_ae_dir(tmp, rng)
+
+        # timed gene_ae stage (G x 3 blocks input rows)
+        hap_counts = make_hap_counts(tmp, rng, genes, starts)
+        n_hc = sum(1 for _ in open(hap_counts)) - 1
+        t0 = time.perf_counter()
+        run_gene_ae(hap_counts, features, os.path.join(tmp, "ae_out.txt"),
+                    log=lambda *a: None)
+        t_gene_ae = time.perf_counter() - t0
+
         mat = os.path.join(tmp, "matrix")
         t0 = time.perf_counter()
         run_expr_matrix(d, features, mat, log=lambda *a: None)
@@ -130,6 +212,22 @@ def main():
         run_cis_var(mat + ".gw_phased.bed.gz", vcf_path, sub_pairs,
                     map_path, out_np, bs=BS, bs_seed=7, engine="numpy")
         t_np = time.perf_counter() - t0
+        np_rate = np_pairs / t_np
+
+        # COLD-cache auto gate (round-3 weakness: the old gate made cold
+        # P=2000 a 3x loss): fresh jit cache + fresh warm marker per run,
+        # auto must track the numpy rate at P in {30, 2000}
+        cold = {}
+        for pc in (30, 2000):
+            pn = min(pc, P)
+            t_cold = bench_cold_auto(tmp, mat + ".gw_phased.bed.gz",
+                                     vcf_path, pairs_path, map_path, pn)
+            cold["P%d" % pc] = {
+                "pairs": pn, "auto_cold_s": round(t_cold, 3),
+                "auto_cold_pairs_per_s": round(pn / t_cold, 2),
+                "numpy_pairs_per_s": round(np_rate, 2),
+                "auto_not_slower": pn / t_cold >= 0.8 * np_rate,
+            }
 
     payload = {
         "metric": "pop_samples_per_s",
@@ -147,6 +245,10 @@ def main():
         "cis_var_s": round(t_cis, 3),
         "cis_var_jax_s": round(t_jax, 3),
         "cis_var_numpy_s": round(t_np, 3),
+        "gene_ae_s": round(t_gene_ae, 3),
+        "gene_ae_rows": n_hc,
+        "gene_ae_rows_per_s": round(n_hc / t_gene_ae, 1),
+        "cold_auto": cold,
     }
     print(json.dumps(payload))
     out_json = os.environ.get("POP_BENCH_OUT", "")

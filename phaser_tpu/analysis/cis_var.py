@@ -115,6 +115,47 @@ def _list_to_str(x, sep=",") -> str:
     return sep.join(map(str, x))
 
 
+def _pop_warm_path() -> str:
+    import os
+    base = os.environ.get("PHASER_TPU_JIT_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "phaser_tpu", "jit")
+    return os.path.join(base, "pop_warm.json")
+
+
+def _pop_is_warm(backend: str, bs: int) -> bool:
+    """Has a device bootstrap for (backend, bs) completed on this machine
+    before?  If so its shape buckets are in the persistent jit cache and
+    the auto gate may use the warm crossover."""
+    import json
+    try:
+        with open(_pop_warm_path()) as f:
+            return bool(json.load(f).get("%s:%d" % (backend, bs)))
+    except (OSError, ValueError):
+        return False
+
+
+def _pop_mark_warm(backend: str, bs: int) -> None:
+    import json
+    import os
+    import tempfile
+    try:
+        path = _pop_warm_path()
+        data = {}
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            pass
+        data["%s:%d" % (backend, bs)] = True
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
 def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
                 pc: int = 1, min_cov: int = 8, chrom: str = "",
                 bs: int = 10000, ignore_v: int = 0, bs_seed: int = 0,
@@ -132,14 +173,28 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
     bitwise equal). Pin --engine for bitwise-reproducible CI columns."""
     df_pairs_n = max(sum(1 for _ in open(pairs)) - 1, 0)
     if engine == "auto":
-        # measured on the tunneled v5e (BENCH_pop_r03): jax pays ~66 s of
-        # fixed per-run cost (shape-bucket jit + the tunnel's dispatch-mode
-        # flip on first fetch) then ~6 ms/pair; the vectorized numpy
-        # bootstrap runs ~80-95 ms/pair with zero fixed cost. Crossover
-        # ~800 pairs at the default bs=10000 -> gate on pairs*bs ~ 8M.
-        # (On directly-attached TPU hosts the fixed cost is seconds; users
-        # there can pin --engine jax.)
-        engine = "jax" if df_pairs_n * bs >= 8_000_000 else "numpy"
+        # measured on the tunneled v5e (BENCH_pop_r03): a WARM persistent
+        # jit cache leaves ~10-20 s of fixed per-run cost (dispatch-mode
+        # flip + cache load) then ~6 ms/pair; the vectorized numpy
+        # bootstrap runs ~80-95 ms/pair with zero fixed cost -> warm
+        # crossover ~800 pairs at bs=10000 (pairs*bs ~ 8M). A COLD cache
+        # is a different machine: every distinct (batch, cohort-pow2)
+        # bucket compiles ~60 s (BENCH_pop_r03 P2000_auto_cold measured
+        # 457 s total vs numpy's 161 s), pushing the crossover to ~5.5k
+        # pairs -> pairs*bs ~ 64M. Whether THIS run is warm is read from
+        # a sidecar marker next to the persistent jit cache, written
+        # after the first successful device bootstrap per (backend, bs).
+        engine = "numpy"
+        if df_pairs_n * bs >= 8_000_000:
+            try:
+                import jax
+                backend = jax.default_backend()
+                cold_ok = df_pairs_n * bs >= 64_000_000
+                if backend != "cpu" and (
+                        cold_ok or _pop_is_warm(backend, bs)):
+                    engine = "jax"
+            except Exception:
+                pass
     if engine == "jax":
         try:
             import jax  # noqa: F401
@@ -309,6 +364,14 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
                         np.asarray(pdta["afcs"][1], float),
                         np.asarray(pdta["abs_afcs"][1], float)]
         cis = bootstrap_cis_device(cohorts, bs, seed=bs_seed)
+        # device bootstrap completed: its shape buckets now sit in the
+        # persistent jit cache — mark (backend, bs) warm so the next
+        # auto-gated run uses the warm crossover
+        try:
+            import jax
+            _pop_mark_warm(jax.default_backend(), bs)
+        except Exception:
+            pass
         for k, pdta in enumerate(pending):
             het, het_abs, hom, hom_abs = cis[4 * k:4 * k + 4]
 

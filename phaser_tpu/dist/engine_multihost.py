@@ -271,9 +271,16 @@ class MultihostReducer(_ReducerBase):
         from jax.experimental import multihost_utils as mhu
         buf = np.frombuffer(pickle.dumps(payload), np.uint8)
         lens = np.asarray(mhu.process_allgather(
-            np.array([len(buf)], np.int32), tiled=False)).reshape(-1)
+            np.array([len(buf)], np.int64), tiled=False)).reshape(-1)
         m = int(lens.max()) if lens.size else 0
-        pad = np.zeros(max(m, 1), np.uint8)
+        # pow2 size buckets: process_allgather jit-compiles per shape, and
+        # data-dependent payload sizes would compile a fresh program per
+        # call (~2 s of fixed cost per engine run); bucketing pins a
+        # handful of shapes that also hit the persistent compile cache
+        cap = 1024
+        while cap < m:
+            cap *= 2
+        pad = np.zeros(cap, np.uint8)
         pad[:len(buf)] = buf
         g = np.asarray(mhu.process_allgather(pad, tiled=False))
         g = g.reshape(self.n_shards, -1)
@@ -487,6 +494,10 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
+    # the reducer's collectives are tiny jitted programs: persist their
+    # compiles so every engine process after the first starts warm
+    from ..utils.jaxtune import enable_compile_cache
+    enable_compile_cache()
     if num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,

@@ -121,7 +121,15 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         if x and os.path.isfile(x):
             u = memtune.bgzf_uncompressed_size(x)
             bam_bytes += u if u > 0 else os.path.getsize(x) * 4
-    memtune.setup(prefault_mb=min(int(bam_bytes * 5 / 1e6) + 256, 4096))
+    # a position-sharded process only touches ~1/n of the BAM: prefault
+    # its share, not the whole working set (the prefault is a real
+    # per-process fixed cost on lazily-backed VMs)
+    if shard_plan is not None and dist_reduce is not None:
+        n_div = max(dist_reduce.n_shards, 1)
+        pf = int(bam_bytes * 2 / 1e6 / n_div) + 128
+    else:
+        pf = int(bam_bytes * 5 / 1e6) + 256
+    memtune.setup(prefault_mb=min(pf, 4096))
 
     if opts.id_separator == ":" or opts.id_separator == "":
         raise ValueError("ID separator must not be ':' or blank.")

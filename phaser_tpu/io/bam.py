@@ -85,6 +85,22 @@ class NameView:
         if total == 0:
             return NameView(b"", new_off)
         src = np.frombuffer(self.blob, np.uint8)
+        if len(idx) > 4096:
+            from . import native as native_mod
+            lib = native_mod.get_lib()
+            if lib is not None:
+                import ctypes
+                import os as _os
+                ptr = ctypes.c_void_p
+                out = np.empty(total, np.uint8)
+                idx64 = np.ascontiguousarray(idx, np.int64)
+                oc = np.ascontiguousarray(o, np.int64)
+                lib.gather_ragged_u8(
+                    len(idx64), idx64.ctypes.data_as(ptr),
+                    src.ctypes.data_as(ptr), oc.ctypes.data_as(ptr),
+                    new_off.ctypes.data_as(ptr), out.ctypes.data_as(ptr),
+                    min(_os.cpu_count() or 1, 8))
+                return NameView(out.tobytes(), new_off)
         within = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], lens)
         pos = np.repeat(o[idx], lens) + within
         return NameView(src[pos].tobytes(), new_off)
@@ -116,26 +132,78 @@ class BamData:
     def __len__(self) -> int:
         return len(self.refid)
 
+    def slice_rows(self, a: int, b: int) -> "BamData":
+        """Contiguous row range [a, b) as O(rows) array views/rebases —
+        no per-base gather (select costs O(bases); coordinate-sorted
+        region scans keep contiguous spans, the hot case)."""
+        co, so = self.cigar_off, self.seq_off
+        if isinstance(self.names, NameView):
+            noff = self.names.off
+            names = NameView(self.names.blob[noff[a]:noff[b]],
+                             noff[a:b + 1] - noff[a])
+        else:
+            names = self.names[a:b]
+        return BamData(
+            ref_names=self.ref_names, ref_lengths=self.ref_lengths,
+            header_text=self.header_text,
+            refid=self.refid[a:b], pos=self.pos[a:b], mapq=self.mapq[a:b],
+            flag=self.flag[a:b], tlen=self.tlen[a:b],
+            as_score=self.as_score[a:b], has_as=self.has_as[a:b],
+            names=names,
+            cigar_flat=self.cigar_flat[co[a]:co[b]],
+            cigar_off=co[a:b + 1] - co[a],
+            seq_flat=self.seq_flat[so[a]:so[b]],
+            qual_flat=self.qual_flat[so[a]:so[b]],
+            seq_off=so[a:b + 1] - so[a],
+        )
+
     def select(self, mask_or_idx) -> "BamData":
         idx = np.asarray(mask_or_idx)
         if idx.dtype == bool:
+            mask = idx
             idx = np.flatnonzero(idx)
+            # contiguous-run fast path: sorted-scan masks are runs
+            if idx.size and idx[-1] - idx[0] + 1 == idx.size:
+                return self.slice_rows(int(idx[0]), int(idx[-1]) + 1)
         co, so = self.cigar_off, self.seq_off
+        native_lib = None
+        if len(idx) > 4096:
+            from . import native as native_mod
+            native_lib = native_mod.get_lib()
+        idx64 = np.ascontiguousarray(idx, np.int64)
 
-        def gather_ragged(flat, off):
-            lens = off[idx + 1] - off[idx]
-            new_off = np.zeros(len(idx) + 1, np.int64)
-            np.cumsum(lens, out=new_off[1:])
+        def gather_ragged(flat, off, new_off=None):
+            if new_off is None:
+                lens = off[idx + 1] - off[idx]
+                new_off = np.zeros(len(idx) + 1, np.int64)
+                np.cumsum(lens, out=new_off[1:])
             total = int(new_off[-1])
             if total == 0:
                 return flat[:0], new_off
+            if native_lib is not None and flat.dtype in (np.uint8,
+                                                         np.uint32):
+                import ctypes
+                import os as _os
+                ptr = ctypes.c_void_p
+                out = np.empty(total, flat.dtype)
+                fn = (native_lib.gather_ragged_u32
+                      if flat.dtype == np.uint32
+                      else native_lib.gather_ragged_u8)
+                fc = np.ascontiguousarray(flat)
+                oc = np.ascontiguousarray(off, np.int64)
+                fn(len(idx64), idx64.ctypes.data_as(ptr),
+                   fc.ctypes.data_as(ptr), oc.ctypes.data_as(ptr),
+                   new_off.ctypes.data_as(ptr), out.ctypes.data_as(ptr),
+                   min(_os.cpu_count() or 1, 8))
+                return out, new_off
+            lens = np.diff(new_off)
             within = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], lens)
             src = np.repeat(off[idx], lens) + within
             return flat[src], new_off
 
         new_cig, new_co = gather_ragged(self.cigar_flat, co)
         new_seq, new_so = gather_ragged(self.seq_flat, so)
-        new_qual, _ = gather_ragged(self.qual_flat, so)
+        new_qual, _ = gather_ragged(self.qual_flat, so, new_so)
         return BamData(
             ref_names=self.ref_names, ref_lengths=self.ref_lengths,
             header_text=self.header_text,

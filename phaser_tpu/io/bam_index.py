@@ -337,9 +337,7 @@ def read_bam_voffset_ranges(path: str, vranges: Sequence[Tuple[int, int]],
     if header_meta is None:
         header_meta = read_bam_header_meta(path)
     ref_names, ref_lengths, header_text = header_meta
-    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
-    rawb = raw.tobytes()
-    offs, uends = _block_tables(rawb)
+    raw, offs, uends = _raw_tables(path)
     import bisect
     chunks = []
     for vb, ve in vranges:
@@ -365,14 +363,63 @@ def read_bam_voffset_ranges(path: str, vranges: Sequence[Tuple[int, int]],
     return concat_bam(chunks)
 
 
+_raw_cache: "OrderedDict" = None
+
+
+def _raw_tables(path: str):
+    """(raw ndarray, offs, uends) with a tiny LRU cache: shard engines
+    call read_bam_starts once per range of the same BAM — re-reading the
+    raw bytes and re-walking every block header per range would multiply
+    the decode cost by the range count."""
+    global _raw_cache
+    import collections
+    import os as _os
+    if _raw_cache is None:
+        _raw_cache = collections.OrderedDict()
+    st = _os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _raw_cache.get(key)
+    if hit is not None:
+        _raw_cache.move_to_end(key)
+        return hit
+    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
+    offs, uends = _block_tables(raw.tobytes())
+    _raw_cache[key] = (raw, offs, uends)
+    while len(_raw_cache) > 2:
+        _raw_cache.popitem(last=False)
+    return _raw_cache[key]
+
+
+def _scan_end_hint(bai: BaiIndex, tid: int, hi: int) -> Optional[int]:
+    """Approximate voffset where reads with start >= hi begin: the first
+    linear entry for a window past hi (this tid), else the next tid's
+    first entry.  Only a WINDOW-SIZING hint — may undershoot when a
+    long-span read overlaps later windows (the caller keeps streaming
+    until the exact stop condition), may overshoot slightly (harmless)."""
+    lin = bai.linear[tid]
+    w = (hi >> _MIN_SHIFT) + 1
+    if w < len(lin):
+        tail = lin[w:]
+        nz = tail[tail > 0]
+        if nz.size:
+            return int(nz[0])
+    for t2 in range(tid + 1, len(bai.linear)):
+        l2 = bai.linear[t2]
+        nz = l2[l2 > 0]
+        if nz.size:
+            return int(nz[0])
+    return None
+
+
 def read_bam_starts(path: str, tid: int, lo: int, hi: int, bai: BaiIndex,
-                    n_threads: int = 0, window_bytes: int = 64 * 1024 * 1024,
+                    n_threads: int = 0, window_bytes: int = 2 * 1024 * 1024,
                     header_meta=None) -> BamData:
     """All reads of reference `tid` whose START (0-based pos) lies in
     [lo, hi) — the position-range engine shard unit.  The scan begins at
-    the linear-index voffset for lo's window and stops at the first record
-    past hi (reads are coordinate-sorted), so only the byte range that can
-    contain the shard's reads is ever inflated."""
+    the linear-index voffset for lo's window, sizes its FIRST decode
+    window from the index's estimate of where the range ends, and stops
+    at the first record past hi (reads are coordinate-sorted), so only
+    the byte range that can contain the shard's reads is ever inflated."""
     import os as _os
     if n_threads <= 0:
         n_threads = min(_os.cpu_count() or 1, 8)
@@ -388,9 +435,7 @@ def read_bam_starts(path: str, tid: int, lo: int, hi: int, bai: BaiIndex,
     sv = bai.start_voff(tid, lo)
     if sv is None:
         return _empty_like_header(ref_names, ref_lengths, header_text)
-    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
-    rawb = raw.tobytes()
-    offs, uends = _block_tables(rawb)
+    raw, offs, uends = _raw_tables(path)
     import bisect
     cb, ub = sv >> 16, sv & 0xFFFF
     bi = bisect.bisect_right(offs, cb) - 1
@@ -398,10 +443,17 @@ def read_bam_starts(path: str, tid: int, lo: int, hi: int, bai: BaiIndex,
     kept = []
     carry = np.zeros(0, np.uint8)
     n_blocks = len(offs) - 1
+    # first window spans the index's estimate of the range, later windows
+    # (long-span overhang only) stay small
+    hint = _scan_end_hint(bai, tid, hi)
+    first_window = window_bytes
+    if hint is not None:
+        first_window = max((hint >> 16) + (1 << 16) - offs[bi], 1 << 16)
+    windows = [first_window]
     while bi < n_blocks:
+        wb = windows.pop(0) if windows else window_bytes
         end_bi = bi
-        while end_bi < n_blocks and offs[end_bi + 1] - offs[bi] <= \
-                window_bytes:
+        while end_bi < n_blocks and offs[end_bi + 1] - offs[bi] <= wb:
             end_bi += 1
         end_bi = max(end_bi, bi + 1)
         payload = _inflate_block_span(raw, offs, uends, bi, end_bi,
@@ -417,7 +469,9 @@ def read_bam_starts(path: str, tid: int, lo: int, hi: int, bai: BaiIndex,
         bi = end_bi
         if len(bd):
             keep = (bd.refid == tid) & (bd.pos >= lo) & (bd.pos < hi)
-            if keep.any():
+            if keep.all():
+                kept.append(bd)   # interior window: no copy needed
+            elif keep.any():
                 kept.append(bd.select(keep))
             last_rid = int(bd.refid[-1])
             last_pos = int(bd.pos[-1])

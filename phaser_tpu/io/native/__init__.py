@@ -140,5 +140,10 @@ def get_lib():
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_void_p, c.c_void_p, c.c_int, c.c_int64, c.c_void_p,
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
+        for fn in ("gather_ragged_u8", "gather_ragged_u32"):
+            g = getattr(lib, fn)
+            g.restype = None
+            g.argtypes = [c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p,
+                          c.c_void_p, c.c_void_p, c.c_int]
         _lib = lib
     return _lib

@@ -1098,4 +1098,42 @@ void* prefault_alloc(int64_t bytes, int n_threads) {
 
 void prefault_free(void* p) { free(p); }
 
+// ragged row gather: out[new_off[r] : new_off[r+1]] =
+// src[off[idx[r]] : off[idx[r]+1]] for r in [0, k). Parallel memcpy per
+// row — replaces numpy's repeat-based fancy gather (the dominant cost of
+// BamData.select on scattered flag/mapq masks).
+void gather_ragged_u8(int64_t k, const int64_t* idx, const uint8_t* src,
+                      const int64_t* off, const int64_t* new_off,
+                      uint8_t* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([=]() {
+      for (int64_t r = t; r < k; r += n_threads) {
+        int64_t i = idx[r];
+        int64_t n = off[i + 1] - off[i];
+        memcpy(out + new_off[r], src + off[i], (size_t)n);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+void gather_ragged_u32(int64_t k, const int64_t* idx, const uint32_t* src,
+                       const int64_t* off, const int64_t* new_off,
+                       uint32_t* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([=]() {
+      for (int64_t r = t; r < k; r += n_threads) {
+        int64_t i = idx[r];
+        int64_t n = off[i + 1] - off[i];
+        memcpy(out + new_off[r], src + off[i], (size_t)(n * 4));
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -30,7 +30,10 @@ def enable_compile_cache() -> None:
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # 0.0: also persist the many small programs (collective allgathers,
+        # shape-bucketed helpers) — each costs 50-200 ms to compile and the
+        # multi-process engine pays that per process otherwise
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
