@@ -289,6 +289,163 @@ def bench_engine_device_fraction():
             "engine_device_fraction": dev / wall if wall > 0 else 0.0}
 
 
+def bench_delta_format(vt):
+    """The int16-delta refpos device format for D/split-M reads (round-3
+    ROADMAP item): upload bytes/base and slope-timed wave vs the 6 B/base
+    refpos-plane form, on a 2^17-row deletion-read batch."""
+    import jax
+    import jax.numpy as jnp
+    from phaser_tpu.io.bam import BamData, NameView, OP_D, OP_M
+    from phaser_tpu.kernels.alleles import (
+        assign_compact_delta_nibble_windowed,
+        assign_compact_plane_windowed, pack_delta_nibble, pack_reads,
+        plan_windows_minmax, plan_windows_plane)
+    from phaser_tpu.mapper.dispatch import _next_pow2
+
+    rng = np.random.default_rng(11)
+    n, L = 1 << 17, 128
+    pos = np.sort(rng.integers(0, CONTIG_LEN - 1000, n)).astype(np.int32)
+    dels = rng.integers(1, 30, n).astype(np.uint32)
+    cig = np.stack([
+        np.full(n, (60 << 4) | OP_M, np.uint32),
+        (dels << 4) | OP_D,
+        np.full(n, ((L - 60) << 4) | OP_M, np.uint32)], axis=1)
+    seq = rng.integers(1, 15, n * L).astype(np.uint8)
+    qual = rng.integers(2, 41, n * L).astype(np.uint8)
+    off = np.arange(n + 1, dtype=np.int64)
+    bd = BamData(
+        ref_names=["chr1"], ref_lengths=[CONTIG_LEN], header_text="",
+        refid=np.zeros(n, np.int32), pos=pos,
+        mapq=np.full(n, 60, np.uint8), flag=np.zeros(n, np.uint16),
+        tlen=np.zeros(n, np.int32), as_score=np.zeros(n, np.int32),
+        has_as=np.zeros(n, bool),
+        names=NameView(b"", np.zeros(1, np.int64)),
+        cigar_flat=cig.reshape(-1), cigar_off=off * 3,
+        seq_flat=seq, qual_flat=qual, seq_off=off * L)
+
+    dn = pack_delta_nibble(bd, 10)
+    if dn is None:
+        return {}
+    ncd, dlt, okm, dst, rmn, rmx = dn
+    assert okm.all()
+    codes, quals, refpos = pack_reads(bd)
+    delta_bytes = ncd.nbytes + dlt.nbytes + dst.nbytes
+    plane_bytes = codes.nbytes + quals.nbytes + refpos.nbytes
+    vpos = np.sort(np.unique(vt.pos)).astype(np.int32)
+    Mp = _next_pow2(len(vpos))
+    vp = np.full(Mp, np.iinfo(np.int32).max, np.int32)
+    vp[:len(vpos)] = vpos
+    ind = np.zeros((Mp, 2), np.uint8)
+    ind[:len(vpos)] = vt.ind_codes[np.unique(vt.pos, return_index=True)[1]]
+    ni = np.full(Mp, 2, np.int8)
+    jv, ji, jn = jnp.asarray(vp), jnp.asarray(ind), jnp.asarray(ni)
+    cap = 1 << 20
+    ws_d = plan_windows_minmax(rmn, rmx, okm, vp, n, 256)
+    ws_p = plan_windows_plane(refpos, vp, 256)
+    if ws_d is None or ws_p is None:
+        return {"delta_upload_bytes_per_base": delta_bytes / (n * L),
+                "plane_upload_bytes_per_base": plane_bytes / (n * L)}
+    jnc, jdl, jst = jnp.asarray(ncd), jnp.asarray(dlt), jnp.asarray(dst)
+    jc, jq, jr = jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos)
+    jwd, jwp = jnp.asarray(ws_d), jnp.asarray(ws_p)
+
+    def step_d():
+        return assign_compact_delta_nibble_windowed(
+            jnc, jst, jdl, jwd, jv, ji, jn, cap)
+
+    def step_p():
+        return assign_compact_plane_windowed(
+            jc, jq, jr, jwp, jv, ji, jn, 10, cap)
+
+    out = {"delta_upload_bytes_per_base": round(delta_bytes / (n * L), 3),
+           "plane_upload_bytes_per_base": round(plane_bytes / (n * L), 3),
+           "delta_rows": n}
+    for name, step in (("delta", step_d), ("plane", step_p)):
+        np.asarray(step()[:, :2])   # warm + steady-state
+        slope = {}
+        for K in (1, 4):
+            t0 = time.perf_counter()
+            outs = [step() for _ in range(K)]
+            for o in outs:
+                np.asarray(o[:, :2])
+            slope[K] = time.perf_counter() - t0
+        out["%s_step_true_s" % name] = round((slope[4] - slope[1]) / 3, 5)
+    # same hit count through both formats
+    hd = int(np.asarray(step_d())[0, 0])
+    hp = int(np.asarray(step_p())[0, 0])
+    assert hd == hp, (hd, hp)
+    out["delta_hits"] = hd
+    return out
+
+
+def bench_sparse_skip(bam_path, full_decode_s):
+    """Index-driven decode skipping on a SPARSE-sites workload: het sites
+    clustered into 8 x 1 Mbp windows (4% of the 200 Mbp contig — e.g. a
+    targeted panel or a sparse-het individual). With the BAI, only blocks
+    whose reads can overlap a site are inflated
+    (engine/pipeline PHASER_TPU_INDEX_SKIP; io/bam_index.plan_site_ranges).
+    Reports decode seconds vs the full-stream decode and verifies the hit
+    rows are identical."""
+    import benchdata
+    from phaser_tpu.engine.varmap import build_variant_table
+    from phaser_tpu.io.bam_index import (BaiIndex, ensure_bai,
+                                         merge_voffset_ranges,
+                                         plan_site_ranges,
+                                         ranges_compressed_bytes,
+                                         read_bam_header_meta,
+                                         read_bam_voffset_ranges)
+    from phaser_tpu.mapper.host import assign_alleles
+
+    rng = np.random.default_rng(5)
+    clusters = np.sort(rng.choice(CONTIG_LEN // 1_000_000 - 2, 8,
+                                  replace=False) + 1) * 1_000_000
+    recs = benchdata.generate_variants(N_VARIANTS, CONTIG_LEN)
+    sparse = [r for r in recs if any(
+        c <= int(r[1]) < c + 1_000_000 for c in clusters)]
+    vt = build_variant_table("chr1", sparse)
+
+    t0 = time.perf_counter()
+    bai_p = ensure_bai(bam_path)
+    t_index = time.perf_counter() - t0  # one-time, cached on disk
+    bai = BaiIndex.from_path(bai_p)
+    meta = read_bam_header_meta(bam_path)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        beg = vt.pos.astype(np.int64) - 1
+        chunks = plan_site_ranges(bai, 0, beg, beg + 1)
+        merged = merge_voffset_ranges(chunks)
+        bd = read_bam_voffset_ranges(bam_path, merged, header_meta=meta)
+        t_dec = time.perf_counter() - t0
+        if best is None or t_dec < best[0]:
+            best = (t_dec, bd, merged)
+    t_dec, bd, merged = best
+    t0 = time.perf_counter()
+    hits = assign_alleles(bd, vt, baseq=10, splice=True)
+    t_map = time.perf_counter() - t0
+    sel = ranges_compressed_bytes(merged, bam_path)
+    total = os.path.getsize(bam_path)
+
+    # parity: the full stream must yield the same hit count on this table
+    from phaser_tpu.io.bam import iter_bam_stream
+    n_full = 0
+    for chunk in iter_bam_stream(bam_path):
+        n_full += len(assign_alleles(chunk, vt, baseq=10, splice=True))
+    assert n_full == len(hits), (n_full, len(hits))
+    return {
+        "sparse_sites": len(vt),
+        "sparse_block_fraction": round(sel / total, 4),
+        "sparse_decode_s": round(t_dec, 3),
+        "sparse_full_decode_s": round(full_decode_s, 3),
+        "sparse_decode_speedup": round(full_decode_s / t_dec, 2)
+        if t_dec > 0 else None,
+        "sparse_map_s": round(t_map, 3),
+        "sparse_reads_decoded": len(bd),
+        "sparse_hits": len(hits),
+        "sparse_index_build_s": round(t_index, 3),
+    }
+
+
 def bench_reference(bd, vt):
     """Reference mapper (interpreted) reads/s on a subset of the stream."""
     from phaser_tpu.io.bam import record_to_sam_line
@@ -328,6 +485,8 @@ def main():
     backend = jax.default_backend()
     dev = bench_device(sub, vt)
     eng = bench_engine_device_fraction()
+    sparse = bench_sparse_skip(bam_path, host["decode_s"])
+    delta = bench_delta_format(vt)
     ref = bench_reference(first, vt)
 
     result = {
@@ -370,6 +529,8 @@ def main():
         "engine_device_s": round(eng["engine_device_s"], 3),
         "engine_wall_s": round(eng["engine_wall_s"], 3),
     }
+    result.update(sparse)
+    result.update(delta)
     print(json.dumps(result))
 
 

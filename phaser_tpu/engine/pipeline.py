@@ -328,6 +328,59 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             if shard_plan is not None:
                 _process_planned_bam(bam_i, xbam, mq, isz, excl_flag,
                                      req_flag)
+                for c in contig_order:
+                    log("               completed chromosome %s..."
+                        % tables[c].chrom)
+                as_scores_per_bam[bam_i] = []
+                continue
+            # index-driven decode skipping: with a .bai present, inflate
+            # only the BGZF blocks whose reads can overlap a het site
+            # (reference: `samtools view -L sites.bed`, phaser.py:1346 —
+            # which still inflates the whole stream). Reads in skipped
+            # blocks provably overlap no variant, so hits — and therefore
+            # every output and the AS-quantile population (per-hit rows,
+            # phaser.py:540-553) — are unchanged. PHASER_TPU_INDEX_SKIP:
+            # 1=force, 0=off, auto=when selected bytes < 60% of the file.
+            skip_mode = os.environ.get("PHASER_TPU_INDEX_SKIP", "auto")
+            skip_ranges = None
+            skip_meta = None
+            if skip_mode != "0" and os.path.isfile(xbam + ".bai"):
+                try:
+                    from ..io.bam_index import (
+                        BaiIndex, merge_voffset_ranges, plan_site_ranges,
+                        ranges_compressed_bytes, read_bam_header_meta)
+                    skip_meta = read_bam_header_meta(xbam)
+                    bai = BaiIndex.from_path(xbam + ".bai")
+                    chunks = []
+                    for c in contig_order:
+                        vt = tables[c]
+                        name = vt.chrom if vt.chrom in skip_meta[0] else \
+                            (c if c in skip_meta[0] else None)
+                        if name is None or len(vt) == 0:
+                            continue
+                        tid = skip_meta[0].index(name)
+                        beg = vt.pos.astype(np.int64) - 1
+                        end = beg + np.maximum(
+                            vt.ref_len.astype(np.int64), 1)
+                        chunks.extend(plan_site_ranges(bai, tid, beg, end))
+                    merged = merge_voffset_ranges(chunks)
+                    sel = ranges_compressed_bytes(merged, xbam)
+                    total = os.path.getsize(xbam)
+                    if skip_mode == "1" or sel < 0.6 * total:
+                        skip_ranges = merged
+                        log("          index decode skip: %.0f%% of "
+                            "compressed blocks"
+                            % (100.0 * min(sel, total) / max(total, 1)))
+                except Exception as e:  # noqa: BLE001 - fall back whole
+                    log("          index decode skip unavailable (%s)" % e)
+                    skip_ranges = None
+            if skip_ranges is not None:
+                from ..io.bam_index import read_bam_voffset_ranges
+                with tracer.stage("#2 bam decode", "reads"):
+                    bd = read_bam_voffset_ranges(xbam, skip_ranges,
+                                                 header_meta=skip_meta)
+                tracer.add("#2 bam decode", len(bd), "reads")
+                _process_chunk(bam_i, bd, mq, isz, excl_flag, req_flag)
             else:
                 from ..utils.memtune import bgzf_uncompressed_size
                 usize = bgzf_uncompressed_size(xbam)

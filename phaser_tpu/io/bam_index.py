@@ -130,6 +130,53 @@ def merge_voffset_ranges(chunks: Sequence[Tuple[int, int]]
     return [(int(a), int(b)) for a, b in out]
 
 
+def plan_site_ranges(bai: BaiIndex, tid: int, beg0: np.ndarray,
+                     end0: np.ndarray,
+                     merge_gap: int = 16384) -> List[Tuple[int, int]]:
+    """Merged voffset chunks guaranteed to contain EVERY read overlapping
+    any [beg0[i], end0[i]) site interval — the in-process equivalent of
+    the reference's `samtools view -L sites.bed` region filter
+    (/root/reference/phaser/phaser.py:1346,1405), except blocks outside
+    the chunks are never inflated at all (samtools still decodes the whole
+    stream). Nearby sites merge so the bin-query count stays small."""
+    if len(beg0) == 0:
+        return []
+    order = np.argsort(beg0, kind="stable")
+    iv: List[List[int]] = []
+    for i in order:
+        b, e = int(beg0[i]), int(end0[i])
+        if iv and b - iv[-1][1] <= merge_gap:
+            iv[-1][1] = max(iv[-1][1], e)
+        else:
+            iv.append([b, e])
+    chunks: List[Tuple[int, int]] = []
+    for b, e in iv:
+        chunks.extend(bai.chunks_for_region(tid, b, e))
+    return chunks
+
+
+def ranges_compressed_bytes(vranges: Sequence[Tuple[int, int]],
+                            path: Optional[str] = None) -> int:
+    """Compressed bytes covered by merged voffset ranges. With `path`,
+    EXACT via the block table (ranges round to real block boundaries);
+    without, a 64 KiB-per-range upper bound."""
+    import bisect
+    if path is not None:
+        _, offs, _ = _raw_tables(path)
+        total = 0
+        for vb, ve in vranges:
+            bi_lo = bisect.bisect_right(offs, vb >> 16) - 1
+            bi_hi = bisect.bisect_right(offs, ve >> 16) - 1
+            end_block = min(bi_hi + (1 if (ve & 0xFFFF) > 0 else 0),
+                            len(offs) - 1)
+            total += offs[max(end_block, bi_lo)] - offs[bi_lo]
+        return total
+    total = 0
+    for vb, ve in vranges:
+        total += (ve >> 16) - (vb >> 16) + (1 << 16)
+    return total
+
+
 def ensure_bai(bam_path: str) -> Optional[str]:
     """Path of the BAM's .bai, building it if absent (our own builder);
     None if it cannot be produced."""

@@ -140,6 +140,12 @@ def get_lib():
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_void_p, c.c_void_p, c.c_int, c.c_int64, c.c_void_p,
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
+        lib.pack_delta_nibble_native.restype = None
+        lib.pack_delta_nibble_native.argtypes = [
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_int, c.c_int64, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_int]
         for fn in ("gather_ragged_u8", "gather_ragged_u32"):
             g = getattr(lib, fn)
             g.restype = None

@@ -755,6 +755,118 @@ void pack_affine_nibble_native(
   for (auto& th : threads) th.join();
 }
 
+// int16 DELTA-encoded refpos packing for non-affine, non-spliced,
+// non-insertion reads (deletion / split-M CIGARs): the device
+// reconstructs refpos[i] = start + i + delta[i] for bases whose nibble is
+// not 15, so the plane ships at 0.5 B/base (masked nibble) + 2 B/base
+// (delta) instead of the 6 B/base codes+quals+refpos form. Unaligned
+// bases (S clips) are masked to 15 unconditionally — they can never hit,
+// and that removes any need for a separate aligned mask. ok[i]=0 routes
+// the read elsewhere (affine reads use the cheaper affine path; N/I/P or
+// delta overflow falls back to the refpos-plane path).
+void pack_delta_nibble_native(
+    int64_t n, const int32_t* pos, const uint32_t* cigar,
+    const int64_t* cigar_off, const uint8_t* seq, const uint8_t* qual,
+    const int64_t* seq_off, int baseq, int64_t Lh, uint8_t* ncodes,
+    int16_t* delta, uint8_t* ok, int32_t* start, int32_t* rp_min,
+    int32_t* rp_max, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  int64_t L = 2 * Lh;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (int64_t i = t; i < n; i += n_threads) {
+        int64_t so = seq_off[i];
+        int64_t slen = seq_off[i + 1] - so;
+        if (slen > L) slen = L;
+        const uint8_t* sq = seq + so;
+        const uint8_t* qu = qual + so;
+        const uint8_t bq = (uint8_t)baseq;
+        uint8_t* out = ncodes + i * Lh;
+        int16_t* dl = delta + i * L;
+        int32_t st = pos[i] + 1;
+        start[i] = st;
+
+        // CIGAR scan: classify + per-base refpos
+        bool bad = false, affine_ok = true;
+        int64_t n_m = 0, first_m = -1, last_m = -1, w = 0;
+        for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++, w++) {
+          uint32_t opc = cigar[c] & 0xF;
+          bool m_type = (opc == 0 || opc == 7 || opc == 8);
+          if (m_type) {
+            if (first_m < 0) first_m = w;
+            last_m = w;
+            n_m++;
+          } else if (opc == 1 || opc == 3 || opc == 6) {  // I, N, P
+            bad = true;
+          } else if (opc != 2 && opc != 4 && opc != 5) {  // not D/S/H
+            bad = true;
+          }
+        }
+        bool affine = n_m >= 1 && (last_m - first_m + 1 == n_m);
+        // per-op D between M runs breaks affinity; recheck: affine means
+        // ONLY M runs + clips (no D at all)
+        for (int64_t c = cigar_off[i]; affine && c < cigar_off[i + 1];
+             c++) {
+          if ((cigar[c] & 0xF) == 2) affine = false;
+        }
+        (void)affine_ok;
+        if (bad || affine || n_m == 0) {
+          ok[i] = 0;
+          rp_min[i] = 0;
+          rp_max[i] = 0;
+          // still zero the planes so reuse buffers stay defined
+          memset(out, 0xFF, (size_t)Lh);
+          memset(dl, 0, (size_t)(L * 2));
+          continue;
+        }
+
+        int64_t qi = 0;       // query index
+        int64_t gpos = st;    // next reference position (1-based)
+        bool overflow = false;
+        int32_t rmin = 0x7fffffff, rmax = 0;
+        // init planes: masked / zero
+        memset(out, 0xFF, (size_t)Lh);
+        memset(dl, 0, (size_t)(L * 2));
+        for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
+          uint32_t opc = cigar[c] & 0xF;
+          int64_t len = cigar[c] >> 4;
+          if (opc == 0 || opc == 7 || opc == 8) {        // M/=/X
+            for (int64_t k = 0; k < len && qi < slen; k++, qi++, gpos++) {
+              uint8_t nib = (qu[qi] < bq) ? 15 : (uint8_t)(sq[qi] & 0xF);
+              if (qi & 1)
+                out[qi >> 1] = (uint8_t)((out[qi >> 1] & 0x0F) | (nib << 4));
+              else
+                out[qi >> 1] = (uint8_t)((out[qi >> 1] & 0xF0) | nib);
+              int64_t d = gpos - (st + qi);
+              if (d < -32768 || d > 32767) overflow = true;
+              dl[qi] = (int16_t)d;
+              if ((int32_t)gpos < rmin) rmin = (int32_t)gpos;
+              if ((int32_t)gpos > rmax) rmax = (int32_t)gpos;
+            }
+          } else if (opc == 2) {                          // D
+            gpos += len;
+          } else if (opc == 4) {                          // S
+            qi += len;  // stays masked (0xFF init)
+          }                                               // H: nothing
+        }
+        if (overflow) {
+          ok[i] = 0;
+          rp_min[i] = 0;
+          rp_max[i] = 0;
+          memset(out, 0xFF, (size_t)Lh);
+          memset(dl, 0, (size_t)(L * 2));
+        } else {
+          ok[i] = 1;
+          rp_min[i] = (rmin == 0x7fffffff) ? 0 : rmin;
+          rp_max[i] = rmax;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 // codes/quals packing fused with affine CIGAR classification: one pass
 // emits the planes plus per-read (is_affine, start, lo, hi) for the
 // device-side refpos reconstruction (mapper.dispatch._affine_params

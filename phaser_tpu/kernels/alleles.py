@@ -326,6 +326,131 @@ def pack_affine_nibble(bd, baseq: int, max_len: int = 0,
     return ncodes, is_aff.astype(bool), start, lo, hi
 
 
+def pack_delta_nibble(bd, baseq: int, max_len: int = 0,
+                      reuse: bool = False):
+    """int16 DELTA-encoded refpos packing for the non-affine, non-spliced
+    remainder (deletion / split-M reads): (n, L/2) masked nibble plane +
+    (n, L) int16 delta plane, 2.5 B/base vs the 6 B/base
+    codes+quals+refpos form (ROADMAP round-3 item). Returns
+    (ncodes, delta, ok, start, rp_min, rp_max) or None without the
+    native library; rows with ok=False (affine / N/I/P / delta overflow)
+    must be routed to other paths."""
+    n = len(bd)
+    lens = np.diff(bd.seq_off)
+    L = int(max(max_len, lens.max() if n else 1))
+    L = ((L + 127) // 128) * 128
+    from ..io import native as native_mod
+    lib = native_mod.get_lib() if n else None
+    if lib is None or not hasattr(lib, "pack_delta_nibble_native"):
+        return None
+    Lh = L // 2
+    if reuse:
+        ncodes = _reuse_buf("d_ncodes", n, Lh, np.uint8)
+        delta = _reuse_buf("d_delta", n, L, np.int16)
+    else:
+        ncodes = np.empty((n, Lh), np.uint8)
+        delta = np.empty((n, L), np.int16)
+    ok = np.empty(n, np.uint8)
+    start = np.empty(n, np.int32)
+    rp_min = np.empty(n, np.int32)
+    rp_max = np.empty(n, np.int32)
+    import ctypes
+    import os as _os
+    ptr = ctypes.c_void_p
+    pos = np.ascontiguousarray(bd.pos, np.int32)
+    cig = np.ascontiguousarray(bd.cigar_flat, np.uint32)
+    coff = np.ascontiguousarray(bd.cigar_off, np.int64)
+    seq = np.ascontiguousarray(bd.seq_flat, np.uint8)
+    qual = np.ascontiguousarray(bd.qual_flat, np.uint8)
+    soff = np.ascontiguousarray(bd.seq_off, np.int64)
+    lib.pack_delta_nibble_native(
+        n, pos.ctypes.data_as(ptr), cig.ctypes.data_as(ptr),
+        coff.ctypes.data_as(ptr), seq.ctypes.data_as(ptr),
+        qual.ctypes.data_as(ptr), soff.ctypes.data_as(ptr), baseq, Lh,
+        ncodes.ctypes.data_as(ptr), delta.ctypes.data_as(ptr),
+        ok.ctypes.data_as(ptr), start.ctypes.data_as(ptr),
+        rp_min.ctypes.data_as(ptr), rp_max.ctypes.data_as(ptr),
+        min(_os.cpu_count() or 1, 8))
+    return ncodes, delta, ok.astype(bool), start, rp_min, rp_max
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def assign_compact_delta_nibble(ncodes: jax.Array, start: jax.Array,
+                                delta: jax.Array, vpos: jax.Array,
+                                ind_codes: jax.Array, n_ind: jax.Array,
+                                capacity: int) -> jax.Array:
+    """Fused assign + hit packing from the DELTA-nibble format: refpos is
+    reconstructed on device as start + i + delta[i]; masked (15) nibbles
+    carry delta 0 and can never hit, so no separate aligned mask ships."""
+    N, Lh = ncodes.shape
+    L = 2 * Lh
+    lo_nib = (ncodes & jnp.uint8(0xF))
+    hi_nib = (ncodes >> 4)
+    mcodes = jnp.stack([lo_nib, hi_nib], axis=-1).reshape(N, L)
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    refpos = jnp.where(mcodes != jnp.uint8(15),
+                       start[:, None] + i + delta.astype(jnp.int32),
+                       jnp.int32(0))
+    vidx, allele = _classify_masked(mcodes, refpos, vpos, ind_codes, n_ind)
+    return _pack_hits(vidx, allele, mcodes, capacity)
+
+
+def plan_windows_minmax(rp_min, rp_max, valid, vpos_host, n_rows: int,
+                        block_rows: int = 256):
+    """Host-side window planning from per-read [rp_min, rp_max] refpos
+    bounds (the delta-nibble path — no refpos plane exists host-side).
+    Same contract as plan_windows_affine."""
+    R = block_rows
+    n_blocks = -(-n_rows // R)
+    smin = np.where(valid & (rp_max > 0), rp_min.astype(np.int64),
+                    np.iinfo(np.int64).max)
+    smax = np.where(valid & (rp_max > 0), rp_max.astype(np.int64), 0)
+    pad = n_blocks * R - n_rows
+    if pad:
+        smin = np.pad(smin, (0, pad),
+                      constant_values=np.iinfo(np.int64).max)
+        smax = np.pad(smax, (0, pad))
+    pmin = smin.reshape(n_blocks, R).min(axis=1)
+    pmax = smax.reshape(n_blocks, R).max(axis=1)
+    M = len(vpos_host)
+    lo_idx = np.searchsorted(vpos_host, pmin, side="left")
+    hi_idx = np.searchsorted(vpos_host, pmax, side="right")
+    ws = np.minimum(lo_idx & ~np.int64(127), max((M - 1) & ~127, 0))
+    if np.any(hi_idx - ws > _WIN):
+        return None
+    return ws.astype(np.int32)
+
+
+def _delta_windowed_impl(ncodes: jax.Array, start: jax.Array,
+                         delta: jax.Array, ws: jax.Array, vpos: jax.Array,
+                         ind_codes: jax.Array, n_ind: jax.Array,
+                         capacity: int, algo: str = "gather",
+                         interpret: bool = False) -> jax.Array:
+    """Windowed-Pallas form of the delta-nibble path: nibble unpack +
+    delta refpos reconstruction + windowed classification + hit packing,
+    one program. `ws` comes from plan_windows_minmax."""
+    N, Lh = ncodes.shape
+    L = 2 * Lh
+    lo_nib = (ncodes & jnp.uint8(0xF))
+    hi_nib = (ncodes >> 4)
+    mcodes = jnp.stack([lo_nib, hi_nib], axis=-1).reshape(N, L).astype(
+        jnp.int32)
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    refpos = jnp.where(mcodes != 15,
+                       start[:, None] + i + delta.astype(jnp.int32),
+                       jnp.int32(0))
+    R = min(256, N)
+    vidx, allele = _pallas_windowed_call(
+        mcodes, mcodes, refpos, ws, vpos, ind_codes, n_ind, baseq=0,
+        block_rows=R, algo=algo, interpret=interpret)
+    return _pack_hits(vidx, allele, mcodes, capacity)
+
+
+assign_compact_delta_nibble_windowed = jax.jit(
+    _delta_windowed_impl,
+    static_argnames=("capacity", "algo", "interpret"))
+
+
 def pack_affine_masked(bd, baseq: int, max_len: int = 0,
                        reuse: bool = False):
     """One-pass native masked-plane packing + affine classification.

@@ -381,9 +381,64 @@ def assign_alleles_auto(bd: BamData, vt: VariantTable, *, baseq: int,
         plane_all = np.flatnonzero(dev_read & ~is_aff)
         plane_win = _windowed_enabled()
         for s in range(0, plane_all.size, _SUB_ROWS):
-            # refpos-plane path for D/N/split-M reads (small remainder)
+            # non-affine remainder: DELTA-nibble format for D/split-M reads
+            # (2.5 B/base: masked nibble + int16 delta refpos), refpos
+            # plane (6 B/base) only for what delta can't carry (N-spliced
+            # reads, delta overflow)
             plane_sel = plane_all[s:s + _SUB_ROWS]
             sub = bd.select(plane_sel)
+            from ..kernels.alleles import pack_delta_nibble
+            dn = pack_delta_nibble(sub, baseq, reuse=reuse)
+            if dn is not None:
+                ncd, dlt, okm, dst, rmn, rmx = dn
+                ok_idx = np.flatnonzero(okm)
+            else:
+                ok_idx = np.zeros(0, np.int64)
+            if ok_idx.size:
+                Nd = ok_idx.size
+                Npd = _next_pow2(max(Nd, 8))
+                Ld = dlt.shape[1]
+                nc = np.full((Npd, Ld // 2), 0xFF, np.uint8)
+                nc[:Nd] = ncd[ok_idx]
+                dl = np.zeros((Npd, Ld), np.int16)
+                dl[:Nd] = dlt[ok_idx]
+                st_d = np.zeros(Npd, np.int32)
+                st_d[:Nd] = dst[ok_idx]
+                ws_d = None
+                if plane_win:
+                    from ..kernels.alleles import plan_windows_minmax
+                    rmn_p = np.zeros(Npd, np.int32)
+                    rmx_p = np.zeros(Npd, np.int32)
+                    rmn_p[:Nd] = rmn[ok_idx]
+                    rmx_p[:Nd] = rmx[ok_idx]
+                    valid = np.zeros(Npd, bool)
+                    valid[:Nd] = True
+                    ws_d = plan_windows_minmax(rmn_p, rmx_p, valid, vpos,
+                                               Npd, min(256, Npd))
+                if ws_d is not None:
+                    from ..kernels.alleles import (
+                        assign_compact_delta_nibble_windowed)
+                    fb_key = ("delta_win", Npd, Ld)
+                    cap_d = _adaptive_cap(fb_key, Npd * Ld)
+                    packed_d = assign_compact_delta_nibble_windowed(
+                        jnp.asarray(nc), jnp.asarray(st_d),
+                        jnp.asarray(dl), jnp.asarray(ws_d), jv, ji, jn,
+                        cap_d)
+                else:
+                    from ..kernels.alleles import assign_compact_delta_nibble
+                    fb_key = ("delta_nib", Npd, Ld)
+                    cap_d = _adaptive_cap(fb_key, Npd * Ld)
+                    packed_d = assign_compact_delta_nibble(
+                        jnp.asarray(nc), jnp.asarray(st_d),
+                        jnp.asarray(dl), jv, ji, jn, cap_d)
+                dev_parts.append((packed_d, cap_d, plane_sel[ok_idx],
+                                  dev_vidx, 0, fb_key))
+            if dn is not None:
+                rest_idx = np.flatnonzero(~okm)
+                if rest_idx.size == 0:
+                    continue
+                plane_sel = plane_sel[rest_idx]
+                sub = sub.select(rest_idx)
             codes2, quals2, refpos2 = pack_reads(sub)
             N2, L2 = codes2.shape
             Np2 = _next_pow2(max(N2, 8))

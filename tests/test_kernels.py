@@ -684,3 +684,65 @@ def test_plane_windowed_non_multiple_rows():
     assert rn[0].max() >= 256 and rw[0].max() >= 256
     for a, b in zip(rw[:4], rn[:4]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_delta_nibble_matches_plane(tmp_path):
+    """int16-delta refpos device format (2.5 B/base vs the 6 B/base plane
+    form) must classify D/split-M reads identically to the refpos-plane
+    kernel — XLA form and windowed-Pallas form (interpreter)."""
+    import jax.numpy as jnp
+    from phaser_tpu.kernels.alleles import (_delta_windowed_impl,
+                                            assign_compact_delta_nibble,
+                                            assign_compact_plane,
+                                            decode_packed_hits,
+                                            pack_delta_nibble, pack_reads,
+                                            plan_windows_minmax)
+
+    chunk, vt = _fixture(tmp_path, seed=44, contig_len=30000,
+                         n_variants_per_contig=150, n_reads_per_contig=400,
+                         frac_spliced=0.35, frac_indel_reads=0.5)
+    dn = pack_delta_nibble(chunk, 10)
+    assert dn is not None
+    ncd, dlt, okm, dst, rmn, rmx = dn
+    ok_idx = np.flatnonzero(okm)
+    assert ok_idx.size > 10, "fixture must contain D/split-M reads"
+    # delta-ok rows exclude spliced/insertion/affine reads
+    opc = chunk.cigar_flat & 0xF
+    ops_per = np.diff(chunk.cigar_off)
+    op_read = np.repeat(np.arange(len(chunk)), ops_per)
+    for bad_op in (1, 3):  # I, N
+        has = np.zeros(len(chunk), bool)
+        np.logical_or.at(has, op_read, opc == bad_op)
+        assert not has[ok_idx].any()
+
+    sub = chunk.select(ok_idx)
+    codes, quals, refpos = pack_reads(sub)
+    vpos = vt.pos.astype(np.int32)
+    cap = 1 << 13
+    pn = assign_compact_plane(
+        jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(refpos),
+        jnp.asarray(vpos), jnp.asarray(vt.ind_codes),
+        jnp.asarray(vt.n_ind), 10, cap)
+    pd = assign_compact_delta_nibble(
+        jnp.asarray(ncd[ok_idx]), jnp.asarray(dst[ok_idx]),
+        jnp.asarray(dlt[ok_idx]), jnp.asarray(vpos),
+        jnp.asarray(vt.ind_codes), jnp.asarray(vt.n_ind), cap)
+    rn = decode_packed_hits(np.asarray(pn))
+    rd = decode_packed_hits(np.asarray(pd))
+    assert rd[4] == rn[4] and rd[4] > 5, (rd[4], rn[4])
+    for a, b in zip(rd[:4], rn[:4]):
+        np.testing.assert_array_equal(a, b)
+
+    ws = plan_windows_minmax(rmn[ok_idx], rmx[ok_idx],
+                             np.ones(ok_idx.size, bool), vpos,
+                             ok_idx.size, min(256, ok_idx.size))
+    assert ws is not None
+    pw = _delta_windowed_impl(
+        jnp.asarray(ncd[ok_idx]), jnp.asarray(dst[ok_idx]),
+        jnp.asarray(dlt[ok_idx]), jnp.asarray(ws), jnp.asarray(vpos),
+        jnp.asarray(vt.ind_codes), jnp.asarray(vt.n_ind), cap,
+        interpret=True)
+    rw = decode_packed_hits(np.asarray(pw))
+    assert rw[4] == rn[4]
+    for a, b in zip(rw[:4], rn[:4]):
+        np.testing.assert_array_equal(a, b)
