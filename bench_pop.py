@@ -183,20 +183,23 @@ def main():
 
         vcf_path, pairs_path, map_path = make_cis_var_inputs(
             tmp, rng, mat + ".gw_phased.bed.gz")
-        # headline: engine="auto" — what users get (measured-crossover gate
-        # between the numpy path and the batched device bootstrap)
+        # forced-jax FIRST: warms + marks the persistent cache, so the
+        # auto headline below reflects a warm production host (cold-cache
+        # behavior is measured separately in cold_auto)
+        out_jax = os.path.join(tmp, "cis_var_jax.txt")
+        t0 = time.perf_counter()
+        run_cis_var(mat + ".gw_phased.bed.gz", vcf_path, pairs_path,
+                    map_path, out_jax, bs=BS, bs_seed=7, engine="jax")
+        t_jax = time.perf_counter() - t0
+
+        # headline: engine="auto" — what users get (cold-aware crossover
+        # gate between the numpy path and the batched device bootstrap)
         out = os.path.join(tmp, "cis_var.txt")
         t0 = time.perf_counter()
         run_cis_var(mat + ".gw_phased.bed.gz", vcf_path, pairs_path,
                     map_path, out, bs=BS, bs_seed=7, engine="auto")
         t_cis = time.perf_counter() - t0
         n_out = sum(1 for _ in open(out)) - 1
-
-        out_jax = os.path.join(tmp, "cis_var_jax.txt")
-        t0 = time.perf_counter()
-        run_cis_var(mat + ".gw_phased.bed.gz", vcf_path, pairs_path,
-                    map_path, out_jax, bs=BS, bs_seed=7, engine="jax")
-        t_jax = time.perf_counter() - t0
 
         # numpy-engine comparison floor, on a subset when P is large (the
         # per-pair numpy bootstrap rate is flat, so the subset rate is the

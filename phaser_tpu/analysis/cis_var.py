@@ -170,7 +170,13 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
     lower/upper bounds and var_het_pval are engine-specific for the same
     --bs_seed (numpy: float64 per-pair seeded Generator index resampling;
     jax: float32 order-statistic sampling — statistically equivalent, not
-    bitwise equal). Pin --engine for bitwise-reproducible CI columns."""
+    bitwise equal). Pin --engine for bitwise-reproducible CI columns.
+
+    Warming a new host: auto only picks the device engine on a COLD cache
+    at very large workloads (pairs*bs >= 64M), and a numpy run never warms
+    the cache — so on a fresh machine with mid-size repeated runs, pin
+    --engine jax once; every later auto run then uses the warm crossover
+    (pairs*bs >= 8M)."""
     df_pairs_n = max(sum(1 for _ in open(pairs)) - 1, 0)
     if engine == "auto":
         # measured on the tunneled v5e (BENCH_pop_r03): a WARM persistent
