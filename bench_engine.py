@@ -63,6 +63,47 @@ def main():
         t_ours = time.perf_counter() - t0
         print("# ours: %.1fs" % t_ours, file=sys.stderr)
 
+        # our parallel form: 2 position-sharded processes pinned to
+        # separate cores (parallel-vs-parallel against the reference's
+        # --threads pool below); outputs byte-checked against the single run
+        t_ours2 = None
+        if (os.cpu_count() or 1) > 1:
+            import re
+            import socket
+            import subprocess
+            with socket.socket() as s:
+                s.bind(("localhost", 0))
+                port = s.getsockname()[1]
+            prefix2 = os.path.join(td, "ours2")
+            procs = []
+            for pid in range(2):
+                cmd = ["taskset", "-c", str(pid % (os.cpu_count() or 1)),
+                       sys.executable, "-m",
+                       "phaser_tpu.dist.engine_multihost",
+                       "--bam", bam, "--vcf", vcf, "--sample", data.sample,
+                       "--o", prefix2, "--num-processes", "2",
+                       "--process-id", str(pid), "--position-shards",
+                       "--coordinator", "localhost:%d" % port]
+                env = {k: v for k, v in os.environ.items()
+                       if k != "XLA_FLAGS"}
+                procs.append(subprocess.Popen(
+                    cmd, cwd=_REPO, env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT, text=True))
+            walls = []
+            for p in procs:
+                out, _ = p.communicate(timeout=7200)
+                if p.returncode != 0:
+                    raise RuntimeError(out[-2000:])
+                walls.append(float(
+                    re.search(r"wall_s=([0-9.]+)", out).group(1)))
+            t_ours2 = max(walls)
+            for sfx in ("haplotypes.txt", "haplotypic_counts.txt",
+                        "allelic_counts.txt"):
+                a = open(ours + "." + sfx).read()
+                b = open(prefix2 + "." + sfx).read()
+                assert a == b, "sharded output %s diverged" % sfx
+            print("# ours 2-proc: %.1fs" % t_ours2, file=sys.stderr)
+
         ref = os.path.join(td, "ref")
         t0 = time.perf_counter()
         proc = refrunner.run_reference_phaser(
@@ -116,6 +157,9 @@ def main():
         "n_input_reads": N_READS,
         "n_variants": sum(nvar),
         "ours_wall_s": round(t_ours, 3),
+        "ours_sharded2_wall_s": round(t_ours2, 3) if t_ours2 else None,
+        "vs_reference_parallel_vs_parallel":
+            round(t_refn / t_ours2, 2) if (t_refn and t_ours2) else None,
         "reference_wall_s_1thread": round(t_ref1, 3),
         "reference_wall_s_%dthreads" % (os.cpu_count() or 1):
             round(t_refn, 3) if t_refn else None,

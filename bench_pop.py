@@ -127,9 +127,11 @@ def make_hap_counts(tmp, rng, genes, starts, blocks_per_gene=3,
 
 
 def bench_cold_auto(tmp, bed, vcf_path, pairs_path, map_path, n_pairs):
-    """Run the auto engine in a SUBPROCESS with a fresh (cold) persistent
-    jit cache + warm marker: the cold-aware gate must pick numpy below the
-    cold crossover, so cold auto is never slower than numpy."""
+    """Cold-cache like-for-like: run engine='auto' AND engine='numpy' each
+    in a fresh SUBPROCESS with a fresh persistent jit cache + warm marker
+    (identical measurement conditions). The cold-aware gate must pick
+    numpy below the cold crossover, so cold auto tracks the numpy time.
+    Returns (auto_s, numpy_s)."""
     import subprocess
     import sys as _sys
     sub_pairs = os.path.join(tmp, "pairs_cold_%d.txt" % n_pairs)
@@ -137,25 +139,38 @@ def bench_cold_auto(tmp, bed, vcf_path, pairs_path, map_path, n_pairs):
         pl = f.read().splitlines()
     with open(sub_pairs, "w") as f:
         f.write("\n".join(pl[:n_pairs + 1]) + "\n")
-    cold_dir = os.path.join(tmp, "cold_jit_%d" % n_pairs)
-    os.makedirs(cold_dir, exist_ok=True)
-    script = (
-        "import sys, time\n"
-        "sys.path.insert(0, %r)\n"
-        "from phaser_tpu.analysis.cis_var import run_cis_var\n"
-        "t0 = time.perf_counter()\n"
-        "run_cis_var(%r, %r, %r, %r, %r, bs=%d, bs_seed=7, engine='auto')\n"
-        "print('COLD_S %%.3f' %% (time.perf_counter() - t0))\n"
-        % (os.path.dirname(os.path.abspath(__file__)), bed, vcf_path,
-           sub_pairs, map_path, os.path.join(tmp, "cold_%d.txt" % n_pairs),
-           BS))
-    env = dict(os.environ, PHASER_TPU_JIT_CACHE=cold_dir)
-    proc = subprocess.run([_sys.executable, "-c", script], env=env,
-                          capture_output=True, text=True, timeout=3600)
-    if proc.returncode != 0:
-        raise RuntimeError(proc.stderr[-2000:])
-    line = [l for l in proc.stdout.splitlines() if l.startswith("COLD_S")][0]
-    return float(line.split()[1])
+    def one(engine, rep):
+        cold_dir = os.path.join(tmp, "cold_jit_%d_%s_%d"
+                                % (n_pairs, engine, rep))
+        os.makedirs(cold_dir, exist_ok=True)
+        script = (
+            "import sys, time\n"
+            "sys.path.insert(0, %r)\n"
+            "from phaser_tpu.analysis.cis_var import run_cis_var\n"
+            "t0 = time.perf_counter()\n"
+            "run_cis_var(%r, %r, %r, %r, %r, bs=%d, bs_seed=7, "
+            "engine=%r)\n"
+            "print('COLD_S %%.3f' %% (time.perf_counter() - t0))\n"
+            % (os.path.dirname(os.path.abspath(__file__)), bed, vcf_path,
+               sub_pairs, map_path,
+               os.path.join(tmp, "cold_%d_%s.txt" % (n_pairs, engine)),
+               BS, engine))
+        env = dict(os.environ, PHASER_TPU_JIT_CACHE=cold_dir)
+        proc = subprocess.run([_sys.executable, "-c", script], env=env,
+                              capture_output=True, text=True, timeout=3600)
+        if proc.returncode != 0:
+            raise RuntimeError(proc.stderr[-2000:])
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith("COLD_S")][0]
+        return float(line.split()[1])
+
+    # short runs are dominated by OS-level order effects (first subprocess
+    # after a device-heavy leg pays page-cache churn): interleave and take
+    # the best per engine; long runs are stable with one pass each
+    reps = 2 if n_pairs <= 100 else 1
+    t_auto = min(one("auto", r) for r in range(reps))
+    t_np = min(one("numpy", r) for r in range(reps))
+    return t_auto, t_np
 
 
 def main():
@@ -218,18 +233,21 @@ def main():
         np_rate = np_pairs / t_np
 
         # COLD-cache auto gate (round-3 weakness: the old gate made cold
-        # P=2000 a 3x loss): fresh jit cache + fresh warm marker per run,
-        # auto must track the numpy rate at P in {30, 2000}
+        # P=2000 a 3x loss): auto and numpy both in fresh subprocesses
+        # with fresh jit caches + warm markers; auto must track numpy
+        # at P in {30, 2000}
         cold = {}
         for pc in (30, 2000):
             pn = min(pc, P)
-            t_cold = bench_cold_auto(tmp, mat + ".gw_phased.bed.gz",
-                                     vcf_path, pairs_path, map_path, pn)
+            t_cold, t_np_cold = bench_cold_auto(
+                tmp, mat + ".gw_phased.bed.gz", vcf_path, pairs_path,
+                map_path, pn)
             cold["P%d" % pc] = {
                 "pairs": pn, "auto_cold_s": round(t_cold, 3),
                 "auto_cold_pairs_per_s": round(pn / t_cold, 2),
-                "numpy_pairs_per_s": round(np_rate, 2),
-                "auto_not_slower": pn / t_cold >= 0.8 * np_rate,
+                "numpy_cold_s": round(t_np_cold, 3),
+                "numpy_cold_pairs_per_s": round(pn / t_np_cold, 2),
+                "auto_not_slower": t_cold <= 1.25 * t_np_cold,
             }
 
     payload = {

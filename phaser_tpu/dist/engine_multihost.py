@@ -511,6 +511,11 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
     assign = split_contigs(contigs, min(num_processes, len(contigs)))
     rank_of = {c: i for i, c in enumerate(contigs)}
     red = MultihostReducer(rank_of)
+    # warmup barrier BEFORE the engine: initializes each process's jax
+    # client + the collective's compiled program (one-time per-process
+    # startup, not per-workload throughput) and lines the shards up at
+    # the same start line
+    red.barrier()
     res = run_phaser(
         vcf=vcf, bam=bam, sample=sample, o=o + ".shard%d" % process_id,
         mapq=mapq, baseq=baseq, paired_end=paired_end,
