@@ -142,21 +142,31 @@ class BlockOutputWriter:
         haplotype_a = "".join(a for _, a in block)
         haplotype_b = "".join(str(int(not int(a))) for a in haplotype_a)
 
-        # supporting / total edges (directed halves -> /2 float, :876-895)
+        # supporting / total edges (directed halves -> /2 float, :876-895):
+        # set-intersection form of the reference's O(b^2) membership loop —
+        # counts identical pairs ((w,b) in conns with (w,b)!=(v,a);
+        # (w,0)/(w,1) in conns for every block w except w==v)
         ac = conn.allele_conn
         supporting = 0
         total = 0
         balleles = [(v, int(a)) for v, a in block]
+        ball_set = set(balleles)
+        both = set()
+        for (w, _) in balleles:
+            both.add((w, 0))
+            both.add((w, 1))
         for (v, a) in balleles:
-            conns = ac.get((v, a), set())
-            for (w, b) in balleles:
-                if (v, a) != (w, b):
-                    if (w, b) in conns:
-                        supporting += 1
-                    if (w, 0) in conns:
-                        total += 1
-                    if (w, 1) in conns:
-                        total += 1
+            conns = ac.get((v, a))
+            if not conns:
+                continue
+            supporting += len(conns & ball_set) - (1 if (v, a) in conns
+                                                   else 0)
+            t = len(conns & both)
+            if (v, 0) in conns:
+                t -= 1
+            if (v, 1) in conns:
+                t -= 1
+            total += t
         supporting = supporting / 2
         total = total / 2
 
