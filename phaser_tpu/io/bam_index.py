@@ -158,18 +158,20 @@ def plan_site_ranges(bai: BaiIndex, tid: int, beg0: np.ndarray,
 def ranges_compressed_bytes(vranges: Sequence[Tuple[int, int]],
                             path: Optional[str] = None) -> int:
     """Compressed bytes covered by merged voffset ranges. With `path`,
-    EXACT via the block table (ranges round to real block boundaries);
-    without, a 64 KiB-per-range upper bound."""
-    import bisect
+    EXACT — index coffsets are block starts, so each range's true end is
+    found with a two-read probe of its final block; without, a
+    64 KiB-per-range upper bound."""
     if path is not None:
-        _, offs, _ = _raw_tables(path)
         total = 0
-        for vb, ve in vranges:
-            bi_lo = bisect.bisect_right(offs, vb >> 16) - 1
-            bi_hi = bisect.bisect_right(offs, ve >> 16) - 1
-            end_block = min(bi_hi + (1 if (ve & 0xFFFF) > 0 else 0),
-                            len(offs) - 1)
-            total += offs[max(end_block, bi_lo)] - offs[bi_lo]
+        with open(path, "rb") as fh:
+            for vb, ve in vranges:
+                cb = vb >> 16
+                ce, ue = ve >> 16, ve & 0xFFFF
+                end = ce
+                if ue > 0:
+                    bsize, _ = _block_meta_at(fh, ce)
+                    end = ce + bsize
+                total += max(end - cb, 0)
         return total
     total = 0
     for vb, ve in vranges:
@@ -321,48 +323,33 @@ def _parse_header_text(data: bytes):
     return ref_names, ref_lengths, header_text
 
 
-def _inflate_block_span(raw, offs, uends, bi_lo: int, bi_hi: int,
-                        n_threads: int) -> np.ndarray:
-    """Decompress blocks [bi_lo, bi_hi) of raw into one payload buffer."""
+def _block_meta_at(fh, coff: int) -> Tuple[int, int]:
+    """(bsize, isize) of the BGZF block starting at file offset coff,
+    probed with two tiny reads (header + trailer)."""
+    fh.seek(coff)
+    head = fh.read(64)
+    bsize, _ = bgzf._parse_block_header(head, 0)
+    fh.seek(coff + bsize - 4)
+    (isize,) = struct.unpack("<I", fh.read(4))
+    return bsize, isize
+
+
+def _inflate_bytes(raw: np.ndarray, n_threads: int) -> np.ndarray:
+    """Inflate a block-aligned compressed byte span."""
     import ctypes
     from . import native as native_mod
     lib = native_mod.get_lib()
-    cbeg, cend = offs[bi_lo], offs[bi_hi]
-    total = int(uends[bi_hi] - uends[bi_lo]) if bi_hi > bi_lo else 0
-    ubuf = np.empty(max(total, 1), np.uint8)
-    if total == 0:
-        return ubuf[:0]
     if lib is not None:
-        cs = raw[cbeg:cend]
-        got = lib.bgzf_decompress(cs.ctypes.data_as(ctypes.c_void_p),
-                                  len(cs),
-                                  ubuf.ctypes.data_as(ctypes.c_void_p),
-                                  n_threads)
-        if got == total:
-            return ubuf[:total]
-    parts = []
-    off = int(cbeg)
-    while off < cend:
-        payload, bsize = bgzf.decompress_block(raw.tobytes() if
-                                               isinstance(raw, np.ndarray)
-                                               else raw, off)
-        parts.append(payload)
-        off += bsize
-    return np.frombuffer(b"".join(parts), np.uint8).copy()
-
-
-def _block_tables(raw: bytes):
-    """(offs, uends): per-block compressed offsets (with EOF sentinel) and
-    cumulative uncompressed end offsets (uends[i] = payload bytes before
-    block i; uends[n] = total)."""
-    offs = bgzf.block_offsets(raw)
-    isize = np.empty(len(offs) + 1, np.int64)
-    isize[0] = 0
-    for i, o in enumerate(offs):
-        nxt = offs[i + 1] if i + 1 < len(offs) else len(raw)
-        isize[i + 1] = struct.unpack_from("<I", raw, nxt - 4)[0]
-    offs.append(len(raw))
-    return offs, np.cumsum(isize)
+        total = lib.bgzf_total_size(raw.ctypes.data_as(ctypes.c_void_p),
+                                    len(raw))
+        if total >= 0:
+            ubuf = np.empty(max(total, 1), np.uint8)
+            got = lib.bgzf_decompress(
+                raw.ctypes.data_as(ctypes.c_void_p), len(raw),
+                ubuf.ctypes.data_as(ctypes.c_void_p), n_threads)
+            if got == total:
+                return ubuf[:total]
+    return np.frombuffer(bgzf.decompress_all(raw.tobytes()), np.uint8)
 
 
 def read_bam_voffset_ranges(path: str, vranges: Sequence[Tuple[int, int]],
@@ -370,8 +357,10 @@ def read_bam_voffset_ranges(path: str, vranges: Sequence[Tuple[int, int]],
                             header_meta=None) -> BamData:
     """Decode ONLY the blocks covered by the given merged voffset ranges
     (record-aligned, e.g. from BaiIndex.chunks_for_region) and parse their
-    records. File order is preserved; blocks outside every range are never
-    inflated."""
+    records.  SEEK-based: index voffset coffsets are always block starts,
+    so each range is read straight from disk — bytes outside every range
+    are neither read nor inflated, and memory is bounded by the largest
+    range (not the file)."""
     import os as _os
     if n_threads <= 0:
         n_threads = min(_os.cpu_count() or 1, 8)
@@ -384,57 +373,36 @@ def read_bam_voffset_ranges(path: str, vranges: Sequence[Tuple[int, int]],
     if header_meta is None:
         header_meta = read_bam_header_meta(path)
     ref_names, ref_lengths, header_text = header_meta
-    raw, offs, uends = _raw_tables(path)
-    import bisect
+    lib = native_mod.get_lib()
     chunks = []
-    for vb, ve in vranges:
-        cb, ub = vb >> 16, vb & 0xFFFF
-        ce, ue = ve >> 16, ve & 0xFFFF
-        bi_lo = bisect.bisect_right(offs, cb) - 1
-        bi_hi = bisect.bisect_right(offs, ce) - 1
-        end_block = bi_hi + (1 if ue > 0 else 0)
-        payload = _inflate_block_span(raw, offs, uends, bi_lo,
-                                      max(end_block, bi_lo), n_threads)
-        beg = ub
-        end = int(uends[bi_hi] - uends[bi_lo]) + ue if ue > 0 else len(payload)
-        window = np.ascontiguousarray(payload[beg:end])
-        lib = native_mod.get_lib()
-        bd, used = _parse_records_v2(lib, window, ref_names, ref_lengths,
-                                     header_text, n_threads)
-        if used != len(window):
-            raise RuntimeError("voffset range not record-aligned in %s"
-                               % path)
-        chunks.append(bd)
+    with open(path, "rb") as fh:
+        for vb, ve in vranges:
+            cb, ub = vb >> 16, vb & 0xFFFF
+            ce, ue = ve >> 16, ve & 0xFFFF
+            if ue > 0:
+                bsize, isize_last = _block_meta_at(fh, ce)
+                end = ce + bsize
+            else:
+                end = ce
+                isize_last = 0
+            if end <= cb:
+                continue
+            fh.seek(cb)
+            raw = np.frombuffer(fh.read(end - cb), np.uint8)
+            payload = _inflate_bytes(raw, n_threads)
+            beg = ub
+            pend = len(payload) - isize_last + ue if ue > 0 else len(payload)
+            window = np.ascontiguousarray(payload[beg:pend])
+            bd, used = _parse_records_v2(lib, window, ref_names,
+                                         ref_lengths, header_text,
+                                         n_threads)
+            if used != len(window):
+                raise RuntimeError("voffset range not record-aligned in %s"
+                                   % path)
+            chunks.append(bd)
     if not chunks:
         return _empty_like_header(ref_names, ref_lengths, header_text)
     return concat_bam(chunks)
-
-
-_raw_cache: "OrderedDict" = None
-
-
-def _raw_tables(path: str):
-    """(raw ndarray, offs, uends) with a tiny LRU cache: shard engines
-    call read_bam_starts once per range of the same BAM — re-reading the
-    raw bytes and re-walking every block header per range would multiply
-    the decode cost by the range count."""
-    global _raw_cache
-    import collections
-    import os as _os
-    if _raw_cache is None:
-        _raw_cache = collections.OrderedDict()
-    st = _os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    hit = _raw_cache.get(key)
-    if hit is not None:
-        _raw_cache.move_to_end(key)
-        return hit
-    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
-    offs, uends = _block_tables(raw.tobytes())
-    _raw_cache[key] = (raw, offs, uends)
-    while len(_raw_cache) > 2:
-        _raw_cache.popitem(last=False)
-    return _raw_cache[key]
 
 
 def _scan_end_hint(bai: BaiIndex, tid: int, hi: int) -> Optional[int]:
@@ -482,49 +450,64 @@ def read_bam_starts(path: str, tid: int, lo: int, hi: int, bai: BaiIndex,
     sv = bai.start_voff(tid, lo)
     if sv is None:
         return _empty_like_header(ref_names, ref_lengths, header_text)
-    raw, offs, uends = _raw_tables(path)
-    import bisect
     cb, ub = sv >> 16, sv & 0xFFFF
-    bi = bisect.bisect_right(offs, cb) - 1
     skip = ub
     kept = []
     carry = np.zeros(0, np.uint8)
-    n_blocks = len(offs) - 1
     # first window spans the index's estimate of the range, later windows
-    # (long-span overhang only) stay small
+    # (long-span overhang only) stay small; SEEK-based — only this range's
+    # byte span is read from disk, memory bounded by one window
     hint = _scan_end_hint(bai, tid, hi)
     first_window = window_bytes
     if hint is not None:
-        first_window = max((hint >> 16) + (1 << 16) - offs[bi], 1 << 16)
+        first_window = max((hint >> 16) + (1 << 16) - cb, 1 << 16)
     windows = [first_window]
-    while bi < n_blocks:
-        wb = windows.pop(0) if windows else window_bytes
-        end_bi = bi
-        while end_bi < n_blocks and offs[end_bi + 1] - offs[bi] <= wb:
-            end_bi += 1
-        end_bi = max(end_bi, bi + 1)
-        payload = _inflate_block_span(raw, offs, uends, bi, end_bi,
-                                      n_threads)
-        data = payload[skip:]
-        skip = 0
-        if len(carry):
-            data = np.concatenate([carry, data])
-        bd, used = _parse_records_v2(lib, np.ascontiguousarray(data),
-                                     ref_names, ref_lengths, header_text,
-                                     n_threads)
-        carry = data[used:].copy()
-        bi = end_bi
-        if len(bd):
-            keep = (bd.refid == tid) & (bd.pos >= lo) & (bd.pos < hi)
-            if keep.all():
-                kept.append(bd)   # interior window: no copy needed
-            elif keep.any():
-                kept.append(bd.select(keep))
-            last_rid = int(bd.refid[-1])
-            last_pos = int(bd.pos[-1])
-            if last_rid > tid or last_rid < 0 or \
-                    (last_rid == tid and last_pos >= hi):
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        fsize = fh.tell()
+        pos = cb
+        while pos < fsize:
+            wb = windows.pop(0) if windows else window_bytes
+            want = min(wb, fsize - pos)
+            fh.seek(pos)
+            buf = fh.read(min(want + (1 << 16) + 64, fsize - pos))
+            # largest block-aligned prefix covering >= want (or to EOF)
+            off = 0
+            n = len(buf)
+            while off < n:
+                try:
+                    bsize, _ = bgzf._parse_block_header(buf, off)
+                except Exception:
+                    break
+                if off + bsize > n:
+                    break
+                off += bsize
+                if off >= want:
+                    break
+            if off == 0:
                 break
+            raw = np.frombuffer(buf[:off], np.uint8)
+            payload = _inflate_bytes(raw, n_threads)
+            data = payload[skip:]
+            skip = 0
+            if len(carry):
+                data = np.concatenate([carry, data])
+            bd, used = _parse_records_v2(lib, np.ascontiguousarray(data),
+                                         ref_names, ref_lengths,
+                                         header_text, n_threads)
+            carry = data[used:].copy()
+            pos += off
+            if len(bd):
+                keep = (bd.refid == tid) & (bd.pos >= lo) & (bd.pos < hi)
+                if keep.all():
+                    kept.append(bd)   # interior window: no copy needed
+                elif keep.any():
+                    kept.append(bd.select(keep))
+                last_rid = int(bd.refid[-1])
+                last_pos = int(bd.pos[-1])
+                if last_rid > tid or last_rid < 0 or \
+                        (last_rid == tid and last_pos >= hi):
+                    break
     if not kept:
         return _empty_like_header(ref_names, ref_lengths, header_text)
     return concat_bam(kept)
