@@ -146,6 +146,10 @@ def get_lib():
             c.c_void_p, c.c_void_p, c.c_int, c.c_int64, c.c_void_p,
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_int]
+        lib.bam_index_scan.restype = c.c_int64
+        lib.bam_index_scan.argtypes = [
+            c.c_void_p, c.c_int64, c.c_int64, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_void_p]
         for fn in ("gather_ragged_u8", "gather_ragged_u32"):
             g = getattr(lib, fn)
             g.restype = None

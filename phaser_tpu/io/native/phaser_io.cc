@@ -1210,6 +1210,47 @@ void* prefault_alloc(int64_t bytes, int n_threads) {
 
 void prefault_free(void* p) { free(p); }
 
+// single-pass record scan for BAM index building: for each record in the
+// headerless record buffer, emit (refid, pos0, end0 from the CIGAR's
+// reference span, record's uncompressed begin/end offsets). Returns the
+// record count, or -1 on a malformed/truncated buffer.
+int64_t bam_index_scan(const uint8_t* data, int64_t size, int64_t cap,
+                       int32_t* rid, int32_t* pos0, int32_t* end0,
+                       int64_t* ubeg, int64_t* uend) {
+  int64_t off = 0;
+  int64_t n = 0;
+  while (off + 4 <= size) {
+    int32_t block_size;
+    memcpy(&block_size, data + off, 4);
+    int64_t rec_end = off + 4 + (int64_t)block_size;
+    if (block_size < 32 || rec_end > size) return -1;
+    if (n >= cap) return -1;
+    int32_t r, p;
+    memcpy(&r, data + off + 4, 4);
+    memcpy(&p, data + off + 8, 4);
+    uint8_t l_read_name = data[off + 12];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, data + off + 16, 2);
+    int64_t span = 0;
+    int64_t coff = off + 36 + (int64_t)l_read_name;
+    for (uint16_t c = 0; c < n_cigar; c++) {
+      uint32_t op;
+      memcpy(&op, data + coff + 4LL * c, 4);
+      uint32_t opc = op & 0xF;
+      if (opc == 0 || opc == 2 || opc == 3 || opc == 7 || opc == 8)
+        span += op >> 4;
+    }
+    rid[n] = r;
+    pos0[n] = p;
+    end0[n] = (int32_t)(p + (span > 0 ? span : 1));
+    ubeg[n] = off;
+    uend[n] = rec_end;
+    n++;
+    off = rec_end;
+  }
+  return (off == size) ? n : -1;
+}
+
 // ragged row gather: out[new_off[r] : new_off[r+1]] =
 // src[off[idx[r]] : off[idx[r]+1]] for r in [0, k). Parallel memcpy per
 // row — replaces numpy's repeat-based fancy gather (the dominant cost of

@@ -300,3 +300,20 @@ def test_failure_record_downstream_clis(tmp_path):
                   "--sample", "S", "--o", o3])
     assert rc == 1
     assert json.load(open(o3 + ".failure.json"))["tool"] == "phaser_annotate"
+
+
+def test_bai_builder_native_matches_python(tmp_path):
+    """The native-scan BAI builder must produce BYTE-IDENTICAL index files
+    to the pure-Python fallback (bins, chunk merging, linear fill)."""
+    import datagen
+    from phaser_tpu.io.tabix import build_bai_index, _build_bai_index_python
+
+    vcf, bam, _ = datagen.write_fixture_dir(
+        str(tmp_path), seed=7, contigs=("c1", "c2"),
+        n_variants_per_contig=60, n_reads_per_contig=700,
+        frac_spliced=0.4, frac_indel_reads=0.3)
+    build_bai_index(bam, bam + ".fast.bai")
+    _build_bai_index_python(bam, bam + ".py.bai")
+    fast = open(bam + ".fast.bai", "rb").read()
+    py = open(bam + ".py.bai", "rb").read()
+    assert fast == py and len(fast) > 100
