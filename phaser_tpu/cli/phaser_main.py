@@ -92,21 +92,37 @@ def main(argv=None) -> int:
         gw_phase_vcf_min_confidence=args.gw_phase_vcf_min_confidence,
         gw_af_field=args.gw_af_field, chr_prefix=args.chr_prefix,
         show_warning=args.show_warning)
+    device = "host" if args.device in ("host", "cpu") else "auto"
+    kwargs = dict(
+        vcf=args.vcf, bam=args.bam, sample=args.sample, o=args.o,
+        mapq=args.mapq, baseq=args.baseq, paired_end=args.paired_end,
+        isize=args.isize, blacklist=args.blacklist,
+        haplo_count_blacklist=args.haplo_count_blacklist,
+        haplo_count_bam_exclude=args.haplo_count_bam_exclude)
     if args.process_slow == 1:
         from ..engine.slow_mode import run_phaser_slow
         import functools
-        _run = functools.partial(run_phaser_slow, resume=bool(args.resume))
+        _run = functools.partial(run_phaser_slow, resume=bool(args.resume),
+                                 chrom=args.chr, opts=opts,
+                                 threads=max(1, args.threads),
+                                 device=device)
+    elif args.threads > 1 and device == "host":
+        # TRUE parallelism: N position-sharded engine processes with
+        # collective merges (the reference forks a pool capped at one
+        # worker per contig, phaser.py:62,2077-2094); outputs stay
+        # byte-identical to a single-process run
+        from ..dist.engine_multihost import run_phaser_multiproc
+        import functools
+        _run = functools.partial(run_phaser_multiproc,
+                                 max(1, args.threads), chrom=args.chr,
+                                 opts=opts, device=device)
     else:
-        _run = run_phaser
+        import functools
+        _run = functools.partial(run_phaser, chrom=args.chr, opts=opts,
+                                 threads=max(1, args.threads),
+                                 device=device)
     try:
-        res = _run(
-            vcf=args.vcf, bam=args.bam, sample=args.sample, o=args.o,
-            mapq=args.mapq, baseq=args.baseq, paired_end=args.paired_end,
-            isize=args.isize, blacklist=args.blacklist,
-            haplo_count_blacklist=args.haplo_count_blacklist,
-            haplo_count_bam_exclude=args.haplo_count_bam_exclude,
-            chrom=args.chr, opts=opts, threads=max(1, args.threads),
-            device=("host" if args.device in ("host", "cpu") else "auto"))
+        res = _run(**kwargs)
     except (ValueError, RuntimeError, FileNotFoundError) as e:
         from ..utils.failures import write_failure_record
         record = write_failure_record(args.o, "phaser", e, argv)

@@ -530,8 +530,93 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
     return res
 
 
+def run_phaser_multiproc(n_procs: int, *, vcf: str, bam: str, sample: str,
+                         o: str, mapq: str, baseq: int, paired_end: str,
+                         opts: PhaserOptions, device: str = "host",
+                         log=print, **kw) -> PhaserResult:
+    """True single-host parallelism for the user-facing CLI: spawn
+    n_procs position-sharded engine processes (the fork-free equivalent
+    of the reference's `--threads` pool, phaser.py:2077-2094) and merge
+    on rank 0. Outputs byte-identical to a single-process run. The full
+    argument surface (blacklists, isize, every PhaserOptions field)
+    travels to workers as a JSON spec."""
+    import dataclasses
+    import json as _json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    spec = dict(vcf=vcf, bam=bam, sample=sample, o=o, mapq=mapq,
+                baseq=baseq, paired_end=paired_end, device=device,
+                position_shards=True,
+                coordinator="localhost:%d" % port,
+                num_processes=n_procs,
+                opts=dataclasses.asdict(opts), **kw)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = []
+    for pid in range(n_procs):
+        sp = dict(spec, process_id=pid)
+        procs.append(subprocess.Popen(
+            [_sys.executable, "-m", "phaser_tpu.dist.engine_multihost",
+             "--spec-json", _json.dumps(sp)],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    total = PhaserResult()
+    outs = []
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate()
+        outs.append(out)
+        if p.returncode != 0:
+            raise RuntimeError("engine shard %d failed:\n%s"
+                               % (pid, out[-3000:]))
+    for out in outs:
+        done = [l for l in out.splitlines()
+                if l.startswith("MULTIHOST_ENGINE_DONE")]
+        if done:
+            total.total_reads += int(done[0].split("reads=")[1].split()[0])
+            total.noise_e = float(done[0].split("noise=")[1].split()[0])
+            total.het_count += int(done[0].split("het=")[1].split()[0])
+            total.phased_variants += int(
+                done[0].split("phased=")[1].split()[0])
+    # rank 0's stage log, minus its shard-local run summary (replaced by
+    # the merged totals below)
+    for line in outs[0].splitlines():
+        if line.startswith(("MULTIHOST_ENGINE_DONE", "     COMPLETED using",
+                            "     PHASED ")):
+            continue
+        log(line)
+    log("     COMPLETED using %d reads across %d processes"
+        % (total.total_reads, n_procs))
+    if total.het_count:
+        log("     PHASED  %d of %d all variants (= %f) with at least one "
+            "other variant" % (total.phased_variants, total.het_count,
+                               float(total.phased_variants) /
+                               float(total.het_count)))
+    return total
+
+
 def _mp_main(argv=None) -> int:
     import argparse
+    import sys as _sys
+    # JSON-spec worker mode (run_phaser_multiproc): the full engine
+    # argument surface in one blob, bypassing the flag parser
+    raw_argv = argv if argv is not None else _sys.argv[1:]
+    if len(raw_argv) >= 2 and raw_argv[0] == "--spec-json":
+        import json as _json
+        spec = _json.loads(raw_argv[1])
+        opts = PhaserOptions(**spec.pop("opts"))
+        res = run_phaser_multihost(opts=opts, **spec)
+        print("MULTIHOST_ENGINE_DONE shard=%d reads=%d noise=%.8f "
+              "device_s=%.3f wall_s=%.3f het=%d phased=%d"
+              % (spec["process_id"], res.total_reads, res.noise_e,
+                 res.device_s, res.wall_s, res.het_count,
+                 res.phased_variants))
+        return 0
     ap = argparse.ArgumentParser(prog="phaser_tpu.dist.engine_multihost")
     ap.add_argument("--bam", required=True)
     ap.add_argument("--vcf", required=True)
