@@ -283,3 +283,21 @@ def test_position_sharded_multibam(tmp_path):
     for k in want:
         assert got[k] == want[k], \
             "file %s differs (position shards, multibam)" % k
+
+
+def test_position_sharded_empty_shards(tmp_path):
+    """n_shards far beyond the atom count: empty shards must still reach
+    every collective in order (no deadlock) and outputs stay
+    byte-identical."""
+    vcf, bam, _ = datagen.write_fixture_dir(
+        str(tmp_path), seed=61, contigs=("chrA", "chrB"),
+        contig_len=(30000, 30000), n_variants_per_contig=(30, 30),
+        n_reads_per_contig=(200, 200))
+    want = _single(vcf, bam, str(tmp_path / "single"))
+    run_phaser_sharded_threads(
+        n_shards=16, position_shards=True, vcf=vcf, bam=bam,
+        sample="SAMPLE1", o=str(tmp_path / "p16"), mapq="10", baseq=10,
+        paired_end="1", opts=PhaserOptions(), log=lambda *a: None)
+    got = _snapshot(str(tmp_path / "p16"))
+    for k in want:
+        assert got[k] == want[k], "file %s differs at 16 shards" % k
