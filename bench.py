@@ -372,11 +372,17 @@ def bench_delta_format(vt):
                 np.asarray(o[:, :2])
             slope[K] = time.perf_counter() - t0
         out["%s_step_true_s" % name] = round((slope[4] - slope[1]) / 3, 5)
-    # same hit count through both formats
-    hd = int(np.asarray(step_d())[0, 0])
-    hp = int(np.asarray(step_p())[0, 0])
-    assert hd == hp, (hd, hp)
-    out["delta_hits"] = hd
+    # both formats must produce the exact same (row, vidx, allele, base)
+    # sequence, not just the same count — Mosaic's gather/select miscompile
+    # class yields wrong VALUES with right shapes (round-4 verdict)
+    from phaser_tpu.kernels.alleles import decode_packed_hits
+    rd = decode_packed_hits(np.asarray(step_d()))
+    rp = decode_packed_hits(np.asarray(step_p()))
+    assert rd[4] == rp[4], (rd[4], rp[4])
+    for a, b in zip(rd[:4], rp[:4]):
+        assert np.array_equal(a, b), "delta/plane hit values diverge"
+    out["delta_hits"] = int(rd[4])
+    out["delta_values_equal"] = True
     return out
 
 

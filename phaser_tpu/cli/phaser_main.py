@@ -116,6 +116,17 @@ def main(argv=None) -> int:
         _run = functools.partial(run_phaser_multiproc,
                                  max(1, args.threads), chrom=args.chr,
                                  opts=opts, device=device)
+    elif args.threads > 1:
+        # default --device auto: N position-sharded engine THREADS sharing
+        # the one local accelerator (JAX dispatch is thread-safe; packer
+        # scratch is thread-local) — separate processes would contend for
+        # the chip. Outputs stay byte-identical (test_threads.py).
+        from ..dist.engine_multihost import run_phaser_sharded_threads
+        import functools
+        _run = functools.partial(run_phaser_sharded_threads,
+                                 n_shards=max(1, args.threads),
+                                 chrom=args.chr, opts=opts, device=device,
+                                 position_shards=True)
     else:
         import functools
         _run = functools.partial(run_phaser, chrom=args.chr, opts=opts,

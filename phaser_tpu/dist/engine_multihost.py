@@ -439,6 +439,8 @@ def run_phaser_sharded_threads(*, n_shards: int, vcf: str, bam: str,
         plans = plan_shards(bam, contigs, n_shards)
     else:
         n_shards = max(1, min(n_shards, len(contigs)))
+    log("     sharded engine: %d position shards (threads, device=%s)"
+        % (n_shards, device))
     assign = split_contigs(contigs, n_shards)
     rank_of = {c: i for i, c in enumerate(contigs)}
     group = _ThreadGroup(n_shards)
@@ -546,6 +548,13 @@ def run_phaser_multiproc(n_procs: int, *, vcf: str, bam: str, sample: str,
     import subprocess
     import sys as _sys
 
+    # build any missing BAM index ONCE before spawning: every worker's
+    # plan_shards would otherwise race to build the same .bai (the write
+    # itself is atomic, but N builds of a large BAM are N× wasted work)
+    from ..io.bam_index import ensure_bai
+    for b in bam.split(","):
+        if b:
+            ensure_bai(b)
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]

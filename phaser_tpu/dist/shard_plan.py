@@ -56,6 +56,18 @@ class ShardPlan:
         return [c for c in order if c in t]
 
 
+def _resolve_tid(name_to_tid: Dict[str, int], c: str) -> Optional[int]:
+    """BAM tid for VCF contig name `c`, tolerating a chr-prefix mismatch
+    in either direction ('chr1' vs '1')."""
+    if c in name_to_tid:
+        return name_to_tid[c]
+    if ("chr" + c) in name_to_tid:
+        return name_to_tid["chr" + c]
+    if c.startswith("chr") and c[3:] in name_to_tid:
+        return name_to_tid[c[3:]]
+    return None
+
+
 def _range_weights(bam_paths: Sequence[str], contigs: Sequence[str]):
     """Per contig: (window byte-weight array, contig_length_windows) summed
     over all BAMs, from each BAM's BAI linear index.  Windows with no index
@@ -73,9 +85,13 @@ def _range_weights(bam_paths: Sequence[str], contigs: Sequence[str]):
         ref_names, ref_lengths, _ = read_bam_header_meta(bam)
         name_to_tid = {n: i for i, n in enumerate(ref_names)}
         for c in contigs:
-            if c not in name_to_tid:
+            # same chr-prefix tolerance as the decode path
+            # (engine.pipeline._process_planned_bam tries vt.chrom then the
+            # bare VCF name): a VCF 'chr1' vs BAM '1' mismatch must not
+            # silently zero every weight and serialize the run onto shard 0
+            tid = _resolve_tid(name_to_tid, c)
+            if tid is None:
                 continue
-            tid = name_to_tid[c]
             lin = bai.linear[tid].astype(np.int64)
             n_win = max(len(lin), 1)
             w = np.zeros(n_win, np.float64)
@@ -115,6 +131,12 @@ def plan_shards(bam: str, contigs: Sequence[str], n_shards: int,
     """
     bams = [b for b in bam.split(",") if b]
     weights = _range_weights(bams, contigs)
+    if weights is not None and \
+            sum(float(w.sum()) for w in weights.values()) <= 0.0:
+        # no contig resolved to any indexed reads (e.g. an unresolvable
+        # name mismatch): a zero-weight walk would put every atom on
+        # shard 0 — fall back to count-balanced whole contigs instead
+        weights = None
     plans = [ShardPlan() for _ in range(n_shards)]
     big = 1 << 62
 

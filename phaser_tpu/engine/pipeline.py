@@ -344,7 +344,12 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             skip_mode = os.environ.get("PHASER_TPU_INDEX_SKIP", "auto")
             skip_ranges = None
             skip_meta = None
-            if skip_mode != "0" and os.path.isfile(xbam + ".bai"):
+            from ..io import native as _native_mod
+            # without the native inflater, read_bam_voffset_ranges falls
+            # back to a full pure-Python decode — the slowest path; use the
+            # normal streaming decode (and log no "skip" line) instead
+            if skip_mode != "0" and os.path.isfile(xbam + ".bai") and \
+                    _native_mod.get_lib() is not None:
                 try:
                     from ..io.bam_index import (
                         BaiIndex, merge_voffset_ranges, plan_site_ranges,

@@ -366,8 +366,11 @@ def read_bam_voffset_ranges(path: str, vranges: Sequence[Tuple[int, int]],
         n_threads = min(_os.cpu_count() or 1, 8)
     from . import native as native_mod
     if native_mod.get_lib() is None:
-        # python fallback: whole-file decode + mask is the simplest exact
-        # behavior (fallback path is for CI only)
+        # python fallback (CI only): a FULL whole-file decode — exact
+        # (reads outside the ranges yield no hits downstream) but the
+        # slowest possible path, so callers should avoid the index route
+        # entirely without the native library (engine.pipeline gates its
+        # decode-skip on get_lib() for this reason)
         bd = read_bam(path, native=False)
         return bd
     if header_meta is None:

@@ -1233,6 +1233,10 @@ int64_t bam_index_scan(const uint8_t* data, int64_t size, int64_t cap,
     memcpy(&n_cigar, data + off + 16, 2);
     int64_t span = 0;
     int64_t coff = off + 36 + (int64_t)l_read_name;
+    // the CIGAR array must lie inside the record: a corrupt block_size /
+    // n_cigar pair (n_cigar up to 65535) must return -1, not read past
+    // rec_end or the buffer (round-4 advisor finding)
+    if (coff + 4LL * n_cigar > rec_end) return -1;
     for (uint16_t c = 0; c < n_cigar; c++) {
       uint32_t op;
       memcpy(&op, data + coff + 4LL * c, 4);

@@ -9,6 +9,7 @@ min shift 14 and 5 levels, plus the 16 KiB linear index.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -293,6 +294,17 @@ def build_csi_index(vcf_gz_path: str, csi_path: Optional[str] = None,
     bgzf.compress_to_path(b"".join(out), csi_path or vcf_gz_path + ".csi")
 
 
+def _atomic_write_bytes(path: str, data: bytes) -> None:
+    """Write-then-rename so concurrent readers never observe a partial
+    index: N sharded engine processes may race to build the same .bai
+    (round-4 advisor finding — a peer that saw the file mid-write parsed a
+    truncated BAI and crashed its shard plan)."""
+    tmp = "%s.tmp.%d" % (path, os.getpid())
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+
+
 def build_bai_index(bam_path: str, bai_path: Optional[str] = None) -> None:
     """BAI index for a BAM file (equivalent of `samtools index`).
 
@@ -452,8 +464,7 @@ def _build_bai_index_native(bam_path: str,
         out.append(_s.pack("<i", len(lin)))
         if len(lin):
             out.append(lin.astype("<u8").tobytes())
-    with open(bai_path or bam_path + ".bai", "wb") as fh:
-        fh.write(b"".join(out))
+    _atomic_write_bytes(bai_path or bam_path + ".bai", b"".join(out))
     return True
 
 
@@ -548,8 +559,7 @@ def _build_bai_index_python(bam_path: str,
         out.append(_s.pack("<i", len(lin)))
         if lin:
             out.append(_s.pack("<%dQ" % len(lin), *lin))
-    with open(bai_path or bam_path + ".bai", "wb") as fh:
-        fh.write(b"".join(out))
+    _atomic_write_bytes(bai_path or bam_path + ".bai", b"".join(out))
 
 
 class TabixFile:
