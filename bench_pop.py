@@ -166,11 +166,12 @@ def bench_cold_auto(tmp, bed, vcf_path, pairs_path, map_path, n_pairs):
 
     # short runs are dominated by OS-level order effects (first subprocess
     # after a device-heavy leg pays page-cache churn): interleave and take
-    # the best per engine; long runs are stable with one pass each
-    reps = 2 if n_pairs <= 100 else 1
-    t_auto = min(one("auto", r) for r in range(reps))
-    t_np = min(one("numpy", r) for r in range(reps))
-    return t_auto, t_np
+    # the best per engine; run-to-run spread is returned so the artifact
+    # shows the variance behind the headline (round-4 verdict #7)
+    reps = 2 if n_pairs <= 100 else 2
+    auto_reps = [one("auto", r) for r in range(reps)]
+    np_reps = [one("numpy", r) for r in range(reps)]
+    return auto_reps, np_reps
 
 
 def main():
@@ -239,15 +240,20 @@ def main():
         cold = {}
         for pc in (30, 2000):
             pn = min(pc, P)
-            t_cold, t_np_cold = bench_cold_auto(
+            auto_reps, np_reps = bench_cold_auto(
                 tmp, mat + ".gw_phased.bed.gz", vcf_path, pairs_path,
                 map_path, pn)
+            t_cold, t_np_cold = min(auto_reps), min(np_reps)
             cold["P%d" % pc] = {
                 "pairs": pn, "auto_cold_s": round(t_cold, 3),
+                "auto_cold_reps_s": [round(x, 3) for x in auto_reps],
                 "auto_cold_pairs_per_s": round(pn / t_cold, 2),
                 "numpy_cold_s": round(t_np_cold, 3),
+                "numpy_cold_reps_s": [round(x, 3) for x in np_reps],
                 "numpy_cold_pairs_per_s": round(pn / t_np_cold, 2),
-                "auto_not_slower": t_cold <= 1.25 * t_np_cold,
+                # a cold auto run that resolves to numpy must cost no more
+                # than the marker-file read over numpy itself
+                "auto_not_slower": t_cold <= 1.05 * t_np_cold,
             }
 
     payload = {

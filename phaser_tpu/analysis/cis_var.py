@@ -122,6 +122,22 @@ def _pop_warm_path() -> str:
     return os.path.join(base, "pop_warm.json")
 
 
+def _pop_any_warm(bs: int) -> bool:
+    """Any non-cpu backend marked warm for this bs — readable WITHOUT
+    importing jax.  The auto gate must not pay backend initialization
+    (~10-20 s through the tunnel) just to decide to use numpy: that init
+    was the entire 12% cold-run penalty in BENCH_pop_r04."""
+    import json
+    try:
+        with open(_pop_warm_path()) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return False
+    sfx = ":%d" % bs
+    return any(k.endswith(sfx) and not k.startswith("cpu:") and bool(v)
+               for k, v in data.items())
+
+
 def _pop_is_warm(backend: str, bs: int) -> bool:
     """Has a device bootstrap for (backend, bs) completed on this machine
     before?  If so its shape buckets are in the persistent jit cache and
@@ -192,15 +208,21 @@ def run_cis_var(bed: str, vcf: str, pairs: str, sample_map: str, o: str,
         # after the first successful device bootstrap per (backend, bs).
         engine = "numpy"
         if df_pairs_n * bs >= 8_000_000:
-            try:
-                import jax
-                backend = jax.default_backend()
-                cold_ok = df_pairs_n * bs >= 64_000_000
-                if backend != "cpu" and (
-                        cold_ok or _pop_is_warm(backend, bs)):
-                    engine = "jax"
-            except Exception:
-                pass
+            cold_ok = df_pairs_n * bs >= 64_000_000
+            # decide from the sidecar marker BEFORE importing jax:
+            # jax.default_backend() initializes the device runtime
+            # (~10-20 s through the tunnel), which must not be paid on
+            # runs the gate resolves to numpy anyway (round-4 verdict:
+            # cold P2000 auto was 12% slower than numpy for exactly this)
+            if cold_ok or _pop_any_warm(bs):
+                try:
+                    import jax
+                    backend = jax.default_backend()
+                    if backend != "cpu" and (
+                            cold_ok or _pop_is_warm(backend, bs)):
+                        engine = "jax"
+                except Exception:
+                    pass
     if engine == "jax":
         try:
             import jax  # noqa: F401

@@ -63,9 +63,10 @@ def _gen_fixture(td: str, total_pairs: int, seed: int):
         n_reads_per_contig=reads, error_rate=0.01)
 
 
-def _run_n(vcf: str, bam: str, prefix: str, n: int, pin: bool) -> float:
-    """Launch n engine processes (position shards), return max internal
-    wall_s across shards."""
+def _run_n(vcf: str, bam: str, prefix: str, n: int, pin: bool):
+    """Launch n engine processes (position shards), return the per-shard
+    internal wall_s list (imbalance must stay visible in the artifact —
+    round-4 verdict #8)."""
     port = _free_port()
     procs = []
     n_cores = os.cpu_count() or 1
@@ -89,7 +90,7 @@ def _run_n(vcf: str, bam: str, prefix: str, n: int, pin: bool) -> float:
             raise RuntimeError(out[-3000:])
         m = re.search(r"wall_s=([0-9.]+)", out)
         walls.append(float(m.group(1)))
-    return max(walls)
+    return walls
 
 
 def _snapshot(prefix: str):
@@ -106,15 +107,26 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=200_000,
                     help="total read PAIRS in the strong-scaling fixture")
-    ap.add_argument("--ns", default="1,2,4")
+    ap.add_argument("--ns", default="")
     ap.add_argument("--weak", action="store_true",
                     help="also run weak scaling (fixture scaled with n)")
     ap.add_argument("--no-pin", action="store_true")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
-    ns = [int(x) for x in args.ns.split(",")]
     pin = not args.no_pin
     n_cores = os.cpu_count() or 1
+    if args.ns:
+        ns = [int(x) for x in args.ns.split(",")]
+    else:
+        # only n <= cores rows belong in the artifact: pinned
+        # oversubscription measures scheduler thrash, not scaling
+        # (round-4 n=4 rows on a 2-core box read as 0.29 "efficiency")
+        ns = [n for n in (1, 2, 4, 8) if n <= n_cores]
+    dropped = [n for n in ns if n > n_cores]
+    if dropped and pin:
+        print("# NOTE: n>cores rows (%s) are oversubscription noise on a "
+              "%d-core box; recording them under 'oversubscribed'"
+              % (dropped, n_cores), file=sys.stderr)
 
     sys.path.insert(0, _REPO)
     result = {
@@ -129,6 +141,10 @@ def main(argv=None) -> int:
         "timing": "max over shards of run_phaser internal wall_s "
                   "(rank-0 output merge excluded at every n)",
         "strong": {}, "weak": {},
+        "oversubscribed": {}, "oversubscribed_weak": {},
+        "oversubscribed_note": "rows with n > cores under pinning measure "
+                               "scheduler thrash, not scaling; excluded "
+                               "from strong/weak",
     }
 
     # SCALE_FIXTURE_DIR caches the generated fixtures across invocations
@@ -156,7 +172,9 @@ def main(argv=None) -> int:
         t1 = None
         for n in ns:
             prefix = os.path.join(td, "s%d" % n)
-            w = min(_run_n(vcf, bam, prefix, n, pin) for _ in range(2))
+            runs = [_run_n(vcf, bam, prefix, n, pin) for _ in range(2)]
+            shard_walls = min(runs, key=max)
+            w = max(shard_walls)
             snap = _snapshot(prefix)
             if want is None:
                 want = snap
@@ -166,17 +184,22 @@ def main(argv=None) -> int:
                     assert snap[k] == want[k], \
                         "output %s diverged at n=%d" % (k, n)
             eff = t1 / (n * w)
-            result["strong"][str(n)] = {
+            dest = result["strong" if n <= n_cores or not pin
+                          else "oversubscribed"]
+            dest[str(n)] = {
                 "wall_s": round(w, 3), "efficiency": round(eff, 4),
+                "shard_wall_s": [round(x, 3) for x in shard_walls],
                 "runs": 2}
-            print("# strong n=%d wall=%.3fs eff=%.3f" % (n, w, eff),
+            print("# strong n=%d wall=%.3fs eff=%.3f shards=%s"
+                  % (n, w, eff, [round(x, 2) for x in shard_walls]),
                   file=sys.stderr)
 
         if args.weak:
             for n in ns:
                 if n == 1:
-                    result["weak"]["1"] = dict(
-                        result["strong"]["1"], efficiency=1.0)
+                    if "1" in result["strong"]:
+                        result["weak"]["1"] = dict(
+                            result["strong"]["1"], efficiency=1.0)
                     continue
                 wtd = os.path.join(td, "weakfx%d_%d" % (args.reads, n))
                 os.makedirs(wtd, exist_ok=True)
@@ -184,10 +207,14 @@ def main(argv=None) -> int:
                     _gen_fixture(wtd, args.reads * n, seed=99 + n)
                 wv = os.path.join(wtd, "sample.vcf.gz")
                 wb = os.path.join(wtd, "sample.bam")
-                w = _run_n(wv, wb, os.path.join(wtd, "o"), n, pin)
+                shard_walls = _run_n(wv, wb, os.path.join(wtd, "o"), n, pin)
+                w = max(shard_walls)
                 eff = t1 / w
-                result["weak"][str(n)] = {
-                    "wall_s": round(w, 3), "efficiency": round(eff, 4)}
+                dest = result["weak" if n <= n_cores or not pin
+                              else "oversubscribed_weak"]
+                dest[str(n)] = {
+                    "wall_s": round(w, 3), "efficiency": round(eff, 4),
+                    "shard_wall_s": [round(x, 3) for x in shard_walls]}
                 print("# weak n=%d wall=%.3fs eff=%.3f" % (n, w, eff),
                       file=sys.stderr)
     finally:

@@ -187,18 +187,20 @@ class BlockOutputWriter:
         phases = [[], []]
         hap_counts = [0, 0]
         hap_read_sets = [None, None]
+        ind_list = [vt.ind_alleles[v] for v in v_idx]
         for hap_index in range(2):
             hap_x = [haplotype_a, haplotype_b][hap_index]
             sets = []
             for i, v in enumerate(v_idx):
-                allele = vt.ind_alleles[v][int(hap_x[i])]
+                ind = ind_list[i]
+                allele = ind[int(hap_x[i])]
                 alleles[hap_index].append(allele)
                 phase = vt.phases[v]
                 try:
                     phases[hap_index].append(phase.index(allele))
                 except ValueError:
                     phases[hap_index].append(_nanf())
-                allele_index = vt.ind_alleles[v].index(allele)
+                allele_index = ind.index(allele)
                 sets.append(vr.read_set(v, allele_index))
             uids = np.unique(np.concatenate(sets)) if sets else np.zeros(0, np.int64)
             hap_read_sets[hap_index] = uids
@@ -277,60 +279,77 @@ class BlockOutputWriter:
             cor_phase_stat]) + "\n")
 
         # ---- haplotypic counts per BAM (:1048-1125)
+        # variant selection / blacklist / allele strings are IDENTICAL for
+        # every BAM: precompute once (the reference recomputes them inside
+        # its bam loop, phaser.py:1050-1080 — values match, this is the
+        # single-process engine's hottest string loop)
+        used_alleles = [[], []]
+        used_vars: List[str] = []
+        used_var_pos: List[int] = []
+        blacklisted_vars: List[str] = []   # canonical: first-add order
+        kept: List[List[Tuple[int, int]]] = [[], []]  # (i, allele_idx)/hap
+        no_blacklist = not self.blacklist
+        for hap_index in range(2):
+            hap_x = [haplotype_a, haplotype_b][hap_index]
+            for i, v in enumerate(v_idx):
+                used_var_pos.append(positions[i])
+                if no_blacklist or (chrom + "_" + str(positions[i])
+                                    not in self.blacklist):
+                    ind = ind_list[i]
+                    allele = ind[int(hap_x[i])]
+                    allele_index = ind.index(allele)
+                    if variants[i] not in used_vars:
+                        used_vars.append(variants[i])
+                    used_alleles[hap_index].append(allele)
+                    kept[hap_index].append((i, allele_index))
+                else:
+                    if variants[i] not in blacklisted_vars:
+                        blacklisted_vars.append(variants[i])
+
+        out_block_gw_phase = "0/1"
+        if corrected_phases[0][0] == 0:
+            out_block_gw_phase = "0|1"
+        elif corrected_phases[0][0] == 1:
+            out_block_gw_phase = "1|0"
+
         for bam_i in range(len(self.bam_list)):
             if bam_i in self.excl:
                 continue
             bam_name = self.bam_names[bam_i]
             set_hap_expr_reads = [None, None]
             hap_expr_counts = [0, 0]
-            used_alleles = [[], []]
-            used_vars: List[str] = []
             var_reads = [[], []]
-            used_var_pos: List[int] = []
-            blacklisted_vars: List[str] = []   # canonical: first-add order
-
-            for hap_index in range(2):
-                hap_x = [haplotype_a, haplotype_b][hap_index]
-                raw_lists = []
-                for i, v in enumerate(v_idx):
-                    vid = variants[i]
-                    pos = int(vt.pos[v])
-                    used_var_pos.append(pos)
-                    if chrom + "_" + str(pos) not in self.blacklist:
-                        allele = vt.ind_alleles[v][int(hap_x[i])]
-                        allele_index = vt.ind_alleles[v].index(allele)
-                        if vid not in used_vars:
-                            used_vars.append(vid)
-                        used_alleles[hap_index].append(allele)
-                        lst = vr.haplo_list(v, allele_index, bam_i)
-                        if lst is not None:
-                            var_reads[hap_index].append(lst)
-                            raw_lists.append(lst)
-                        else:
-                            var_reads[hap_index].append(np.zeros(0, np.int64))
-                    else:
-                        if vid not in blacklisted_vars:
-                            blacklisted_vars.append(vid)
-                concat = (np.concatenate(raw_lists) if raw_lists
-                          else np.zeros(0, np.int64))
-                uniq = _first_seen_unique(concat)
-                set_hap_expr_reads[hap_index] = uniq
-                hap_expr_counts[hap_index] = len(uniq)
-
-            out_block_gw_phase = "0/1"
-            if corrected_phases[0][0] == 0:
-                out_block_gw_phase = "0|1"
-            elif corrected_phases[0][0] == 1:
-                out_block_gw_phase = "1|0"
 
             hap_var_reads = [[], []]
             for hap_index in range(2):
-                pos_of = {int(u): k for k, u in
-                          enumerate(set_hap_expr_reads[hap_index])}
+                for i, allele_index in kept[hap_index]:
+                    lst = vr.haplo_list(v_idx[i], allele_index, bam_i)
+                    var_reads[hap_index].append(
+                        lst if lst is not None else np.zeros(0, np.int64))
+                # first-seen unique + each read's first-seen RANK in one
+                # vectorized pass (was: python dict + per-read list comp,
+                # the hottest loop of the single-process output stage)
+                concat = (np.concatenate(var_reads[hap_index])
+                          if var_reads[hap_index] else np.zeros(0, np.int64))
+                if concat.size:
+                    suniq, first, inv = np.unique(
+                        concat, return_index=True, return_inverse=True)
+                    order = np.argsort(first, kind="stable")
+                    uniq = suniq[order]
+                    rank = np.empty(len(suniq), np.int64)
+                    rank[order] = np.arange(len(suniq))
+                    ranks = rank[inv]
+                else:
+                    uniq = concat
+                    ranks = concat
+                set_hap_expr_reads[hap_index] = uniq
+                hap_expr_counts[hap_index] = len(uniq)
+                off = 0
                 for var_index in range(len(used_vars)):
-                    xvar_reads = [pos_of[int(x)] for x in
-                                  var_reads[hap_index][var_index]]
-                    hap_var_reads[hap_index].append(list_to_string(xvar_reads))
+                    n = len(var_reads[hap_index][var_index])
+                    hap_var_reads[hap_index].append(
+                        ",".join(map(str, ranks[off:off + n].tolist())))
+                    off += n
             hv0 = list_to_string(hap_var_reads[0], sep=";")
             hv1 = list_to_string(hap_var_reads[1], sep=";")
             total_cov = sum(hap_expr_counts)

@@ -129,7 +129,7 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         pf = int(bam_bytes * 2 / 1e6 / n_div) + 128
     else:
         pf = int(bam_bytes * 5 / 1e6) + 256
-    memtune.setup(prefault_mb=min(pf, 4096))
+    memtune.setup(prefault_mb=min(pf, 4096), background=True)
 
     if opts.id_separator == ":" or opts.id_separator == "":
         raise ValueError("ID separator must not be ':' or blank.")

@@ -14,6 +14,8 @@ from ..io.vcf import cut_columns, iter_vcf_lines
 from ..utils.fmt import list_to_string
 from .output_stage import OutputState, PhaserOptions
 
+_TAGS = ("PG", "PB", "PI", "PW", "PC", "PM")
+
 _FORMAT_HEADERS = [
     ("PG", "##FORMAT=<ID=PG,Number=1,Type=String,Description=\"phASER Local Genotype\">"),
     ("PB", "##FORMAT=<ID=PB,Number=1,Type=String,Description=\"phASER Local Block\">"),
@@ -30,6 +32,8 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
                      rsid_lookup=None) -> Tuple[int, int]:
     """Returns (unphased_phased, phase_corrections)."""
     set_phased_vars = set(state.haplotype_lookup.keys())
+    _fmt_cache = {}
+    _block_cache = {}
     phase_corrections = 0
     unphased_phased = 0
     out_lines: List[str] = []
@@ -60,27 +64,32 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
                     chrom not in chromosome_of_interest.split(","):
                 continue
             if "GT" in vcf_columns[8]:
-                gt_index = vcf_columns[8].split(":").index("GT")
-                genotype = list(vcf_columns[9].split(":")[gt_index])
-                if "|" in genotype:
-                    genotype.remove("|")
-                if "/" in genotype:
-                    genotype.remove("/")
+                # format strings repeat across lines: parse each DISTINCT
+                # one once (gt position, tag indices, extended header) —
+                # the per-line .split/.index chain was ~1/3 of #7 time
+                cache = _fmt_cache.get(vcf_columns[8])
+                if cache is None:
+                    fields0 = vcf_columns[8].split(":")
+                    gt_index = fields0.index("GT")
+                    vff = list(fields0)
+                    for tag in ["PG", "PB", "PI", "PW", "PC", "PM"]:
+                        if tag not in vff:
+                            vff.append(tag)
+                    cache = (gt_index, len(fields0), ":".join(vff), vff,
+                             {t: vff.index(t) for t in _TAGS})
+                    _fmt_cache[vcf_columns[8]] = cache
+                gt_index, n_fields, fmt_out, vcf_format_fields, tag_idx = \
+                    cache
 
                 alt_alleles = vcf_columns[4].split(",")
                 all_alleles = [vcf_columns[3]] + alt_alleles
 
-                n_fields = len(vcf_columns[8].split(":"))
                 for i in range(9, len(vcf_columns)):
                     sample_fields_n = len(vcf_columns[i].split(":"))
                     if sample_fields_n != n_fields:
                         vcf_columns[i] += ":" * (n_fields - sample_fields_n)
 
-                vcf_format_fields = vcf_columns[8].split(":")
-                for tag in ["PG", "PB", "PI", "PW", "PC", "PM"]:
-                    if tag not in vcf_format_fields:
-                        vcf_format_fields.append(tag)
-                vcf_columns[8] = ":".join(vcf_format_fields)
+                vcf_columns[8] = fmt_out
 
                 unique_id = (chrom + opts.id_separator + str(pos) +
                              opts.id_separator +
@@ -101,10 +110,20 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
                             gw_phase_out[gw_phase] = str(vcf_allele_index)
                         alleles_out.append(str(vcf_allele_index))
 
-                    variants_out = [rsid_lookup[v].replace(":", "_")
-                                    for v in variants_lu]
-                    gw_stat = state.gw_stat_lookup[list_to_string(variants_lu)]
-                    max_block_maf = state.max_maf_lookup[list_to_string(variants_lu)]
+                    # every variant of a block shares the same variants_lu
+                    # LIST OBJECT (output_stage stores one list per block):
+                    # format the block-level strings once per block
+                    blk = _block_cache.get(id(variants_lu))
+                    if blk is None:
+                        vl_str = list_to_string(variants_lu)
+                        blk = (list_to_string(
+                                   [rsid_lookup[v].replace(":", "_")
+                                    for v in variants_lu]),
+                               str(state.gw_stat_lookup[vl_str]),
+                               state.gw_stat_lookup[vl_str],
+                               str(state.max_maf_lookup[vl_str]))
+                        _block_cache[id(variants_lu)] = blk
+                    pb_str, pc_str, gw_stat, pm_str = blk
 
                     if "-" not in gw_phase_out:
                         xfields = vcf_columns[9].split(":")
@@ -127,34 +146,39 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
 
                     sample_fields = vcf_columns[9].split(":")
                     sample_fields += [""] * (len(vcf_format_fields) - len(sample_fields))
-                    sample_fields[vcf_format_fields.index("PG")] = "|".join(alleles_out)
-                    sample_fields[vcf_format_fields.index("PB")] = \
-                        list_to_string(variants_out)
-                    sample_fields[vcf_format_fields.index("PI")] = str(block_index)
-                    sample_fields[vcf_format_fields.index("PM")] = str(max_block_maf)
-                    sample_fields[vcf_format_fields.index("PW")] = "|".join(gw_phase_out)
-                    sample_fields[vcf_format_fields.index("PC")] = str(gw_stat)
+                    sample_fields[tag_idx["PG"]] = "|".join(alleles_out)
+                    sample_fields[tag_idx["PB"]] = pb_str
+                    sample_fields[tag_idx["PI"]] = str(block_index)
+                    sample_fields[tag_idx["PM"]] = pm_str
+                    sample_fields[tag_idx["PW"]] = "|".join(gw_phase_out)
+                    sample_fields[tag_idx["PC"]] = pc_str
 
                     if opts.gw_phase_vcf == 2 and \
                             gw_stat < opts.gw_phase_vcf_min_confidence:
                         if "PS" not in vcf_format_fields:
+                            # copy: vcf_format_fields is the cached list
+                            vcf_format_fields = vcf_format_fields + ["PS"]
                             vcf_columns[8] += ":PS"
-                            vcf_format_fields.append("PS")
                             sample_fields.append("")
                         sample_fields[vcf_format_fields.index("PS")] = str(block_index)
 
                     vcf_columns[9] = ":".join(sample_fields)
                 else:
+                    genotype = list(vcf_columns[9].split(":")[gt_index])
+                    if "|" in genotype:
+                        genotype.remove("|")
+                    if "/" in genotype:
+                        genotype.remove("/")
                     sample_fields = vcf_columns[9].split(":")
                     sample_fields += [""] * (len(vcf_format_fields) - len(sample_fields))
-                    sample_fields[vcf_format_fields.index("PG")] = \
+                    sample_fields[tag_idx["PG"]] = \
                         "/".join(sorted(genotype))
-                    sample_fields[vcf_format_fields.index("PB")] = "."
-                    sample_fields[vcf_format_fields.index("PI")] = "."
-                    sample_fields[vcf_format_fields.index("PM")] = "."
-                    sample_fields[vcf_format_fields.index("PW")] = \
+                    sample_fields[tag_idx["PB"]] = "."
+                    sample_fields[tag_idx["PI"]] = "."
+                    sample_fields[tag_idx["PM"]] = "."
+                    sample_fields[tag_idx["PW"]] = \
                         vcf_columns[9].split(":")[gt_index]
-                    sample_fields[vcf_format_fields.index("PC")] = "."
+                    sample_fields[tag_idx["PC"]] = "."
                     vcf_columns[9] = ":".join(sample_fields)
 
             out_lines.append("\t".join(vcf_columns[0:9] + [vcf_columns[9]]))

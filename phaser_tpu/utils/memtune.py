@@ -39,8 +39,13 @@ def bgzf_uncompressed_size(path: str) -> int:
         return -1
 
 
-def setup(prefault_mb: int = 0, n_threads: int = 0) -> None:
-    global _done
+_prefaulted_mb = 0
+_prefault_lock = None
+
+
+def setup(prefault_mb: int = 0, n_threads: int = 0,
+          background: bool = False) -> None:
+    global _done, _prefaulted_mb, _prefault_lock
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         if not _done:
@@ -52,6 +57,11 @@ def setup(prefault_mb: int = 0, n_threads: int = 0) -> None:
     env_mb = os.environ.get("PHASER_TPU_PREFAULT_MB")
     if env_mb is not None:
         prefault_mb = int(env_mb)
+    # once the arena has been grown to this size, later runs in the same
+    # process reuse the already-resident pages — re-touching them is pure
+    # fixed cost (~0.1 s/GB on the engine's critical path)
+    if prefault_mb <= _prefaulted_mb:
+        return
     if prefault_mb > 0:
         from ..io import native as native_mod
         lib = native_mod.get_lib()
@@ -61,6 +71,19 @@ def setup(prefault_mb: int = 0, n_threads: int = 0) -> None:
             lib.prefault_alloc.restype = ctypes.c_void_p
             lib.prefault_alloc.argtypes = [ctypes.c_int64, ctypes.c_int]
             lib.prefault_free.argtypes = [ctypes.c_void_p]
-            p = lib.prefault_alloc(prefault_mb * 1024 * 1024, n_threads)
-            if p:
-                lib.prefault_free(p)
+            _prefaulted_mb = prefault_mb
+
+            def _touch():
+                p = lib.prefault_alloc(prefault_mb * 1024 * 1024, n_threads)
+                if p:
+                    lib.prefault_free(p)
+
+            if background:
+                # overlap the fault storm with the engine's opening stages
+                # (VCF filter + BAM decode): the faults only need to land
+                # before the big mapper temporaries allocate
+                import threading
+                threading.Thread(target=_touch, daemon=True,
+                                 name="phaser-prefault").start()
+            else:
+                _touch()
