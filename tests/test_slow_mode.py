@@ -102,3 +102,31 @@ def test_stream_vcf_body_multiblock(tmp_path):
         _stream_vcf_body(p2, w, include_header=False)
     merged = bgzf.read_text_auto(out).decode()
     assert merged == h1 + b1 + b2
+
+
+def test_slow_mode_with_position_shards(tmp_path):
+    """--process_slow composed with position shards (round-4 verdict #4):
+    threads>1 runs each contig through the sharded engine (weight-balanced
+    position ranges, bounded per-shard memory) — outputs byte-identical to
+    the single-threaded slow run."""
+    import filecmp
+
+    vcf, bam, data = datagen.write_fixture_dir(
+        str(tmp_path), seed=63, contigs=("chr20", "chr21"), contig_len=15000,
+        n_variants_per_contig=60, n_reads_per_contig=900)
+    s1 = str(tmp_path / "s1")
+    s2 = str(tmp_path / "s2")
+    run_phaser_slow(vcf=vcf, bam=bam, sample=data.sample, o=s1, mapq="10",
+                    baseq=10, paired_end="1", opts=PhaserOptions(),
+                    log=lambda *a: None)
+    run_phaser_slow(vcf=vcf, bam=bam, sample=data.sample, o=s2, mapq="10",
+                    baseq=10, paired_end="1", opts=PhaserOptions(),
+                    threads=3, log=lambda *a: None)
+    for sfx in (".haplotypes.txt", ".haplotypic_counts.txt",
+                ".allelic_counts.txt", ".variant_connections.txt",
+                ".allele_config.txt", ".vcf.gz"):
+        assert filecmp.cmp(s1 + sfx, s2 + sfx, shallow=False), sfx
+    # per-contig AND per-shard intermediates cleaned up
+    leftovers = [f for f in os.listdir(str(tmp_path))
+                 if ".shard" in f or "s2chr" in f]
+    assert not leftovers, leftovers
