@@ -252,6 +252,59 @@ class ThreadReducer(_ReducerBase):
         return self.group.allgather(self.shard_id, payload)
 
 
+class RecordingReducer(_ReducerBase):
+    """Wrap a reducer and journal every collective payload this shard
+    sends.  A shard whose engine run completes dumps the journal next to
+    its outputs (`<o>.shardK.ckpt`); a later resume REPLAYS the journal —
+    re-emitting bit-identical collective contributions so re-running
+    peers see exactly the values of the original run — instead of
+    recomputing the shard (round-4 verdict #4: shard-failure recovery)."""
+
+    def __init__(self, base: _ReducerBase):
+        self.base = base
+        self.shard_id = base.shard_id
+        self.n_shards = base.n_shards
+        self.rank_of = base.rank_of
+        self.payloads: List = []
+
+    def _allgather(self, payload):
+        self.payloads.append(payload)
+        return self.base._allgather(payload)
+
+    def dump(self, path: str, res: PhaserResult) -> None:
+        import dataclasses
+        tmp = "%s.tmp.%d" % (path, os.getpid())
+        with open(tmp, "wb") as fh:
+            pickle.dump({"payloads": self.payloads,
+                         "result": dataclasses.asdict(res)}, fh)
+        os.replace(tmp, path)
+
+
+def replay_journal(base: _ReducerBase, path: str) -> PhaserResult:
+    """Re-emit a completed shard's journaled collective payloads in their
+    original order (outputs are already on disk) and return its result.
+    Live peers doing a full re-run interoperate transparently: the engine's
+    collective call sequence is deterministic, so the replayed payloads
+    land exactly where the original run's would."""
+    with open(path, "rb") as fh:
+        data = pickle.load(fh)
+    for p in data["payloads"]:
+        base._allgather(p)
+    d = dict(data["result"])
+    d["shard_device"] = [tuple(x) for x in d.get("shard_device", [])]
+    return PhaserResult(**d)
+
+
+def _shard_outputs_complete(prefix: str, opts: PhaserOptions) -> bool:
+    need = ["haplotypes.txt", "haplotypic_counts.txt",
+            "variant_connections.txt", "allele_config.txt",
+            "singletons.haplotypes.part",
+            "singletons.haplotypic_counts.part", "allelic_counts.part"]
+    if opts.write_vcf == 1:
+        need.append("vcf.gz")
+    return all(os.path.isfile(prefix + "." + s) for s in need)
+
+
 class MultihostReducer(_ReducerBase):
     """Cross-process allgather over jax.experimental.multihost_utils.
 
@@ -372,7 +425,7 @@ def merge_shard_outputs(o: str, n_shards: int, opts: PhaserOptions,
                         "singletons.haplotypes.part",
                         "singletons.haplotypic_counts.part",
                         "allelic_counts.part", "vcf.gz", "vcf.gz.tbi",
-                        "vcf.gz.csi"):
+                        "vcf.gz.csi", "ckpt"):
                 path = p + "." + sfx
                 if os.path.isfile(path):
                     os.remove(path)
@@ -484,7 +537,8 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
                          platform: str = "cpu", chrom: str = "",
                          opts: Optional[PhaserOptions] = None,
                          device: str = "host",
-                         position_shards: bool = False, log=print,
+                         position_shards: bool = False,
+                         resume: bool = False, log=print,
                          **kw) -> PhaserResult:
     """One engine shard per jax process; rank 0 merges after a barrier.
 
@@ -492,6 +546,10 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
     platform='' (leave the TPU runtime) and launch one process per host.
     position_shards=True computes the SAME weight-balanced
     (contig, position-range) plan on every process from the BAM index.
+    resume=True: a rank whose previous run completed (journal + outputs on
+    disk) replays its journaled collective payloads instead of recomputing;
+    ranks without a journal re-run in full — the two interoperate, so after
+    a partial failure only the lost shards are recomputed.
     """
     import jax
     if platform:
@@ -518,14 +576,28 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
     # startup, not per-workload throughput) and lines the shards up at
     # the same start line
     red.barrier()
-    res = run_phaser(
-        vcf=vcf, bam=bam, sample=sample, o=o + ".shard%d" % process_id,
-        mapq=mapq, baseq=baseq, paired_end=paired_end,
-        chrom="" if plans else _shard_chrom(assign, process_id),
-        shard_plan=plans[process_id] if plans else None,
-        opts=opts, device=device,
-        dist_reduce=red, split_outputs=True,
-        log=log if process_id == 0 else (lambda *a: None), **kw)
+    prefix = o + ".shard%d" % process_id
+    jpath = prefix + ".ckpt"
+    if resume and os.path.isfile(jpath) and \
+            _shard_outputs_complete(prefix, opts):
+        log("     shard %d: replaying journal (outputs already complete)"
+            % process_id)
+        res = replay_journal(red, jpath)
+    else:
+        rec = RecordingReducer(red)
+        res = run_phaser(
+            vcf=vcf, bam=bam, sample=sample, o=prefix,
+            mapq=mapq, baseq=baseq, paired_end=paired_end,
+            chrom="" if plans else _shard_chrom(assign, process_id),
+            shard_plan=plans[process_id] if plans else None,
+            opts=opts, device=device,
+            dist_reduce=rec, split_outputs=True,
+            log=log if process_id == 0 else (lambda *a: None), **kw)
+        rec.dump(jpath, res)
+        if os.environ.get("PHASER_TPU_TEST_EXIT_BEFORE_BARRIER") == "1":
+            # deterministic failure injection for the resume tests: die
+            # with this shard's work on disk but the job unmerged
+            os._exit(17)
     red.barrier()   # every shard's files are on disk before the merge
     if process_id == 0:
         merge_shard_outputs(o, red.n_shards, opts)
@@ -535,7 +607,8 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
 def run_phaser_multiproc(n_procs: int, *, vcf: str, bam: str, sample: str,
                          o: str, mapq: str, baseq: int, paired_end: str,
                          opts: PhaserOptions, device: str = "host",
-                         log=print, **kw) -> PhaserResult:
+                         resume: bool = False, log=print,
+                         **kw) -> PhaserResult:
     """True single-host parallelism for the user-facing CLI: spawn
     n_procs position-sharded engine processes (the fork-free equivalent
     of the reference's `--threads` pool, phaser.py:2077-2094) and merge
@@ -560,7 +633,7 @@ def run_phaser_multiproc(n_procs: int, *, vcf: str, bam: str, sample: str,
         port = s.getsockname()[1]
     spec = dict(vcf=vcf, bam=bam, sample=sample, o=o, mapq=mapq,
                 baseq=baseq, paired_end=paired_end, device=device,
-                position_shards=True,
+                position_shards=True, resume=resume,
                 coordinator="localhost:%d" % port,
                 num_processes=n_procs,
                 opts=dataclasses.asdict(opts), **kw)
@@ -646,6 +719,9 @@ def _mp_main(argv=None) -> int:
     ap.add_argument("--position-shards", action="store_true",
                     help="weight-balanced (contig, position-range) shards "
                          "from the BAM index instead of whole contigs")
+    ap.add_argument("--resume", action="store_true",
+                    help="replay this shard's .ckpt journal when its "
+                         "previous run completed (skip recompute)")
     args = ap.parse_args(argv)
     res = run_phaser_multihost(
         vcf=args.vcf, bam=args.bam, sample=args.sample, o=args.o,
@@ -653,7 +729,7 @@ def _mp_main(argv=None) -> int:
         num_processes=args.num_processes, process_id=args.process_id,
         coordinator=args.coordinator, platform=args.platform,
         chrom=args.chr, device=args.device,
-        position_shards=args.position_shards)
+        position_shards=args.position_shards, resume=args.resume)
     print("MULTIHOST_ENGINE_DONE shard=%d reads=%d noise=%.8f "
           "device_s=%.3f wall_s=%.3f"
           % (args.process_id, res.total_reads, res.noise_e,

@@ -108,7 +108,14 @@ def run_phaser_slow(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
                     baseq: int, paired_end: str, chrom: str = "",
                     opts: Optional[PhaserOptions] = None,
                     device: str = "host", resume: bool = False,
-                    log=print, **kw) -> PhaserResult:
+                    threads: int = 1, log=print, **kw) -> PhaserResult:
+    """threads > 1 composes memory-efficient mode with POSITION SHARDS
+    (round-4 verdict #4): each contig runs through the sharded engine
+    (dist.engine_multihost.run_phaser_sharded_threads — weight-balanced
+    position ranges, bounded per-shard memory); outputs stay
+    byte-identical to the single-threaded slow run, since slow mode's
+    noise/AS scope is per-contig either way (reference composes its memory
+    mode with its thread pool, phaser.py:264-321, 2077-2094)."""
     opts = opts or PhaserOptions()
     contigs = chrom.split(",") if chrom else list_contigs(vcf)
     log("    Memory efficient mode is activated... ")
@@ -127,10 +134,23 @@ def run_phaser_slow(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             produced.append(c)
             continue
         try:
-            res = run_phaser(vcf=vcf, bam=bam, sample=sample, o=prefix,
-                             mapq=mapq, baseq=baseq, paired_end=paired_end,
-                             chrom=c, opts=opts, device=device,
-                             pi_block_value=pi_block_value, log=log, **kw)
+            if threads > 1:
+                from ..dist.engine_multihost import \
+                    run_phaser_sharded_threads
+                res = run_phaser_sharded_threads(
+                    n_shards=threads, vcf=vcf, bam=bam, sample=sample,
+                    o=prefix, mapq=mapq, baseq=baseq,
+                    paired_end=paired_end, chrom=c, opts=opts,
+                    device=device, position_shards=True,
+                    pi_block_value=pi_block_value, log=lambda *a: None,
+                    **kw)
+            else:
+                res = run_phaser(vcf=vcf, bam=bam, sample=sample, o=prefix,
+                                 mapq=mapq, baseq=baseq,
+                                 paired_end=paired_end, chrom=c, opts=opts,
+                                 device=device,
+                                 pi_block_value=pi_block_value, log=log,
+                                 **kw)
         except RuntimeError as e:
             log("     contig %s skipped: %s" % (c, e))
             continue
