@@ -93,6 +93,20 @@ def _range_weights(bam_paths: Sequence[str], contigs: Sequence[str]):
             if tid is None:
                 continue
             lin = bai.linear[tid].astype(np.int64)
+            if bai.min_shift != 14:
+                # foreign CSI granularity: resample the window table to
+                # the planner's 16 KiB atoms (our own builder always
+                # writes min_shift=14, so this is an interop path only)
+                f = 2 ** abs(bai.min_shift - 14)
+                if bai.min_shift > 14:
+                    lin = np.repeat(lin, f)
+                else:
+                    pad = (-len(lin)) % f
+                    lp = np.pad(lin, (0, pad))
+                    lp = lp.reshape(-1, f)
+                    m = np.where(lp > 0, lp, np.iinfo(np.int64).max)
+                    lin = m.min(axis=1)
+                    lin[lin == np.iinfo(np.int64).max] = 0
             n_win = max(len(lin), 1)
             w = np.zeros(n_win, np.float64)
             if len(lin):

@@ -348,14 +348,15 @@ def _run_phaser_inner(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
             # without the native inflater, read_bam_voffset_ranges falls
             # back to a full pure-Python decode — the slowest path; use the
             # normal streaming decode (and log no "skip" line) instead
-            if skip_mode != "0" and os.path.isfile(xbam + ".bai") and \
+            from ..io.bam_index import find_bam_index
+            if skip_mode != "0" and find_bam_index(xbam) is not None and \
                     _native_mod.get_lib() is not None:
                 try:
                     from ..io.bam_index import (
                         BaiIndex, merge_voffset_ranges, plan_site_ranges,
                         ranges_compressed_bytes, read_bam_header_meta)
                     skip_meta = read_bam_header_meta(xbam)
-                    bai = BaiIndex.from_path(xbam + ".bai")
+                    bai = BaiIndex.from_path(find_bam_index(xbam))
                     chunks = []
                     for c in contig_order:
                         vt = tables[c]

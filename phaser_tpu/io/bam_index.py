@@ -30,22 +30,39 @@ import numpy as np
 
 from . import bgzf
 from .bam import BamData, NameView, _parse_records_v2, read_bam
-from .tabix import reg2bins
+from .tabix import CSI_MAGIC, _reg2bins_g, reg2bins
 
 _MIN_SHIFT = 14  # 16 KiB linear-index windows (BAI fixed)
 
 
 class BaiIndex:
-    """Parsed BAI: per-reference R-tree bins and the 16 KiB linear index."""
+    """Parsed BAM index — BAI or CSI behind one query interface.
+
+    BAI: classic (min_shift=14, depth=5) bins + the 16 KiB linear index.
+    CSI (`samtools index -c`; removes the 512 Mbp contig limit): the
+    generalized R-tree; a BAI-style 2^min_shift linear index is
+    SYNTHESIZED from per-bin loffsets — leaf-bin loffsets give window
+    granularity, parent-bin smears keep the lower-bound contract for
+    reads resident in non-leaf bins (a window's value is always <= the
+    voffset of every read overlapping it, so start_voff/chunk queries
+    stay conservative-correct)."""
 
     def __init__(self, bins: List[Dict[int, List[Tuple[int, int]]]],
-                 linear: List[np.ndarray]):
+                 linear: List[np.ndarray], min_shift: int = 14,
+                 depth: int = 5):
         self.bins = bins
         self.linear = linear
+        self.min_shift = min_shift
+        self.depth = depth
 
     @classmethod
     def from_path(cls, path: str) -> "BaiIndex":
         buf = open(path, "rb").read()
+        if buf[:2] == b"\x1f\x8b":
+            data = bgzf.decompress_all(buf)
+            if data[:4] != CSI_MAGIC:
+                raise ValueError("gzipped index is not CSI: %s" % path)
+            return cls._parse_csi(data)
         if buf[:4] != b"BAI\x01":
             raise ValueError("bad BAI magic in %s" % path)
         off = 4
@@ -74,6 +91,64 @@ class BaiIndex:
             linear.append(lin)
         return cls(bins, linear)
 
+    @classmethod
+    def _parse_csi(cls, buf: bytes) -> "BaiIndex":
+        min_shift, depth, l_aux = struct.unpack_from("<iii", buf, 4)
+        off = 16 + l_aux
+        (n_ref,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        leaf_off = ((1 << (3 * depth)) - 1) // 7
+        bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        linear: List[np.ndarray] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            bd: Dict[int, List[Tuple[int, int]]] = {}
+            loffs: List[Tuple[int, int]] = []   # (bin, loffset)
+            for _ in range(n_bin):
+                b, loffset, n_chunk = struct.unpack_from("<IQi", buf, off)
+                off += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", buf, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bd[b] = chunks
+                loffs.append((int(b), int(loffset)))
+            # synthesize the linear index: leaf loffsets at window
+            # granularity + parent smears over their full leaf span (the
+            # lower-bound that keeps reads in non-leaf bins reachable and
+            # makes "no nonzero window >= w" mean "no read at/after w",
+            # exactly like the BAI linear)
+            spans = []
+            for b, lo in loffs:
+                if b >= leaf_off:
+                    ilo, ihi = b - leaf_off, b - leaf_off + 1
+                else:
+                    lvl = 0
+                    for lv in range(depth + 1):
+                        if ((1 << (3 * lv)) - 1) // 7 <= b < \
+                                ((1 << (3 * (lv + 1))) - 1) // 7:
+                            lvl = lv
+                            break
+                    span = 1 << (3 * (depth - lvl))
+                    ilo = (b - ((1 << (3 * lvl)) - 1) // 7) * span
+                    ihi = ilo + span
+                val = lo if lo > 0 else (min(c[0] for c in bd[b])
+                                         if bd[b] else 0)
+                spans.append((ilo, ihi, val))
+            n_win = max((ihi for ilo, ihi, v in spans), default=0)
+            big = np.iinfo(np.int64).max
+            lin = np.full(n_win, big, np.int64)
+            for ilo, ihi, val in spans:
+                if val <= 0:
+                    continue
+                np.minimum.at(lin, np.s_[ilo:ihi], val)
+            lin[lin == big] = 0
+            bins.append(bd)
+            linear.append(lin)
+        return cls(bins, linear, min_shift=min_shift, depth=depth)
+
     def n_ref(self) -> int:
         return len(self.bins)
 
@@ -82,7 +157,7 @@ class BaiIndex:
         begin (every read with start >= pos0 lies at or after it), or None
         when the index proves no such read exists."""
         lin = self.linear[tid]
-        w = pos0 >> _MIN_SHIFT
+        w = pos0 >> self.min_shift
         if w >= len(lin):
             return None
         nz = np.flatnonzero(lin[w:])
@@ -97,11 +172,16 @@ class BaiIndex:
         lower-bounded by the linear index)."""
         bd = self.bins[tid]
         lin = self.linear[tid]
-        w = beg0 >> _MIN_SHIFT
+        w = beg0 >> self.min_shift
         min_voff = int(lin[w]) if w < len(lin) else \
             (int(lin[-1]) if len(lin) else 0)
         chunks = []
-        for b in reg2bins(beg0, end0):
+        if self.min_shift == 14 and self.depth == 5:
+            query_bins = reg2bins(beg0, end0)
+        else:
+            query_bins = _reg2bins_g(beg0, end0, self.min_shift,
+                                     self.depth)
+        for b in query_bins:
             for cb, ce in bd.get(b, ()):
                 if ce > min_voff:
                     chunks.append((max(cb, min_voff), ce))
@@ -179,19 +259,42 @@ def ranges_compressed_bytes(vranges: Sequence[Tuple[int, int]],
     return total
 
 
-def ensure_bai(bam_path: str) -> Optional[str]:
-    """Path of the BAM's .bai, building it if absent (our own builder);
-    None if it cannot be produced."""
+def find_bam_index(bam_path: str) -> Optional[str]:
+    """Existing index path (.bai preferred, then .csi), or None."""
     import os
-    p = bam_path + ".bai"
-    if os.path.isfile(p):
+    for ext in (".bai", ".csi"):
+        if os.path.isfile(bam_path + ext):
+            return bam_path + ext
+    return None
+
+
+def ensure_bam_index(bam_path: str) -> Optional[str]:
+    """Path of an index for the BAM, building one if absent: BAI for
+    classic genomes, CSI when any contig exceeds the 512 Mbp BAI limit
+    (the reference reaches CSI transparently through samtools,
+    /root/reference/phaser/phaser.py:1346). None if none can be
+    produced."""
+    import os
+    p = find_bam_index(bam_path)
+    if p is not None:
         return p
     try:
-        from .tabix import build_bai_index
-        build_bai_index(bam_path)
+        _, ref_lengths, _ = read_bam_header_meta(bam_path)
+        if ref_lengths and max(ref_lengths) >= (1 << 29):
+            from .tabix import build_csi_bam_index
+            build_csi_bam_index(bam_path)
+            p = bam_path + ".csi"
+        else:
+            from .tabix import build_bai_index
+            build_bai_index(bam_path)
+            p = bam_path + ".bai"
     except Exception:
         return None
     return p if os.path.isfile(p) else None
+
+
+# historical name: callers predate CSI support
+ensure_bai = ensure_bam_index
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +518,7 @@ def _scan_end_hint(bai: BaiIndex, tid: int, hi: int) -> Optional[int]:
     long-span read overlaps later windows (the caller keeps streaming
     until the exact stop condition), may overshoot slightly (harmless)."""
     lin = bai.linear[tid]
-    w = (hi >> _MIN_SHIFT) + 1
+    w = (hi >> bai.min_shift) + 1
     if w < len(lin):
         tail = lin[w:]
         nz = tail[tail > 0]

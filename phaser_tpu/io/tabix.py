@@ -332,33 +332,35 @@ def _reg2bin_vec(beg, end):
     return out
 
 
-def _build_bai_index_native(bam_path: str,
-                            bai_path: Optional[str]) -> bool:
+def _native_bam_scan(bam_path: str):
+    """Native record scan for index building: returns
+    (n_ref, ridm, begm, endm, vb, ve) arrays over MAPPED records in file
+    order (positions int64, voffsets int64), or None without the native
+    library / on a malformed BAM."""
     import ctypes
-    import struct as _s
 
     import numpy as np
 
     from . import native as native_mod
     lib = native_mod.get_lib()
     if lib is None or not hasattr(lib, "bam_index_scan"):
-        return False
+        return None
     raw = open(bam_path, "rb").read()
     ptr = ctypes.c_void_p
     total = lib.bgzf_total_size(raw, len(raw))
     if total < 0:
-        return False
+        return None
     ubuf = np.empty(max(total, 1), np.uint8)
     import os as _os
     nthr = min(_os.cpu_count() or 1, 8)
     if lib.bgzf_decompress(raw, len(raw),
                            ubuf.ctypes.data_as(ptr), nthr) != total:
-        return False
+        return None
     consumed = ctypes.c_int64(0)
     h = lib.bam_header_only(ubuf.ctypes.data_as(ptr), total,
                             ctypes.byref(consumed))
     if not h:
-        return False
+        return None
     n_ref = lib.bam_n_refs(h)
     lib.bam_free(h)
     body = ubuf[consumed.value:]
@@ -374,7 +376,7 @@ def _build_bai_index_native(bam_path: str,
         end0.ctypes.data_as(ptr), ubeg.ctypes.data_as(ptr),
         uend.ctypes.data_as(ptr))
     if n < 0:
-        return False
+        return None
     rid, pos0, end0 = rid[:n], pos0[:n].astype(np.int64), \
         end0[:n].astype(np.int64)
     ubeg = ubeg[:n] + consumed.value
@@ -400,11 +402,20 @@ def _build_bai_index_native(bam_path: str,
     vend = uoff2voff(uend)
 
     mapped = rid >= 0
-    ridm = rid[mapped].astype(np.int64)
-    begm = pos0[mapped]
-    endm = end0[mapped]
-    vb = vbeg[mapped]
-    ve = vend[mapped]
+    return (n_ref, rid[mapped].astype(np.int64), pos0[mapped],
+            end0[mapped], vbeg[mapped], vend[mapped])
+
+
+def _build_bai_index_native(bam_path: str,
+                            bai_path: Optional[str]) -> bool:
+    import struct as _s
+
+    import numpy as np
+
+    scan = _native_bam_scan(bam_path)
+    if scan is None:
+        return False
+    n_ref, ridm, begm, endm, vb, ve = scan
     bins = _reg2bin_vec(begm, endm)
 
     # group by (rid, bin) keeping file order; merge chunks contiguous in
@@ -466,6 +477,128 @@ def _build_bai_index_native(bam_path: str,
             out.append(lin.astype("<u8").tobytes())
     _atomic_write_bytes(bai_path or bam_path + ".bai", b"".join(out))
     return True
+
+
+def _reg2bin_vec_g(beg, end, min_shift: int, depth: int):
+    """Vectorized generalized (CSI) binning."""
+    import numpy as np
+    e = end - 1
+    out = np.zeros(len(beg), np.int64)
+    done = np.zeros(len(beg), bool)
+    for lvl in range(depth, 0, -1):
+        shift = min_shift + 3 * (depth - lvl)
+        m = ~done & ((beg >> shift) == (e >> shift))
+        out[m] = ((1 << (3 * lvl)) - 1) // 7 + (beg[m] >> shift)
+        done |= m
+    return out
+
+
+def build_csi_bam_index(bam_path: str, csi_path: Optional[str] = None,
+                        min_shift: int = 14,
+                        depth: Optional[int] = None) -> None:
+    """CSI index for a BAM (`samtools index -c` equivalent): the
+    generalized R-tree removes BAI's 512 Mbp contig limit.  depth defaults
+    to the smallest level count covering the highest mapped coordinate
+    (>= the samtools default of 5).  Requires the native record scan.
+
+    Layout (htslib CSI spec): bgzf("CSI\1", min_shift, depth, l_aux=0,
+    n_ref, {n_bin, {bin u32, loffset u64, n_chunk, {beg u64, end u64}}}),
+    n_no_coor u64).  loffset(bin) is the record-level linear-index value
+    at the bin's first leaf window — the reader rebuilds a BAI-style
+    2^min_shift linear index from leaf loffsets plus parent smears."""
+    import struct as _s
+
+    import numpy as np
+
+    scan = _native_bam_scan(bam_path)
+    if scan is None:
+        raise RuntimeError("CSI building requires the native library")
+    n_ref, ridm, begm, endm, vb, ve = scan
+    if depth is None:
+        depth = 5
+        max_end = int(endm.max()) if len(endm) else 0
+        while (1 << (min_shift + 3 * depth)) < max_end:
+            depth += 1
+    bins = _reg2bin_vec_g(begm, endm, min_shift, depth)
+    leaf_off = ((1 << (3 * depth)) - 1) // 7
+
+    # chunk merge per (rid, bin), preserving file order — identical
+    # grouping to the BAI builder
+    order = np.lexsort((np.arange(len(ridm)), bins, ridm))
+    r_s, b_s, vb_s, ve_s = ridm[order], bins[order], vb[order], ve[order]
+    new_group = np.ones(len(r_s), bool)
+    if len(r_s) > 1:
+        new_group[1:] = ((r_s[1:] != r_s[:-1]) | (b_s[1:] != b_s[:-1]) |
+                         (vb_s[1:] != ve_s[:-1]))
+    starts = np.flatnonzero(new_group)
+    ends = np.concatenate([starts[1:], [len(r_s)]]) if len(starts) \
+        else starts
+    c_rid = r_s[starts]
+    c_bin = b_s[starts]
+    c_vb = vb_s[starts]
+    c_ve = ve_s[ends - 1] if len(starts) else c_bin
+
+    out = [CSI_MAGIC, _s.pack("<iii", min_shift, depth, 0),
+           _s.pack("<i", n_ref)]
+    for r in range(n_ref):
+        rm = ridm == r
+        # record-level linear index at 2^min_shift granularity (same
+        # construction as the BAI builder), used for per-bin loffsets
+        if rm.any():
+            wb = begm[rm] >> min_shift
+            we = (endm[rm] - 1) >> min_shift
+            vbr = vb[rm]
+            n_win = int(we.max()) + 1
+            lin = np.full(n_win, np.iinfo(np.int64).max, np.int64)
+            counts = (we - wb + 1)
+            widx = np.repeat(wb, counts) + (
+                np.arange(int(counts.sum())) -
+                np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                          counts))
+            np.minimum.at(lin, widx, np.repeat(vbr, counts))
+            lin[lin == np.iinfo(np.int64).max] = 0
+            nz = lin > 0
+            idx = np.where(nz, np.arange(n_win), -1)
+            np.maximum.accumulate(idx, out=idx)
+            lin = np.where(idx >= 0, lin[np.maximum(idx, 0)], 0)
+        else:
+            lin = np.zeros(0, np.int64)
+
+        sel = np.flatnonzero(c_rid == r)
+        bb = c_bin[sel]
+        bstarts = np.flatnonzero(np.concatenate([[True],
+                                                 bb[1:] != bb[:-1]])) \
+            if len(bb) else np.zeros(0, np.int64)
+        bends = np.concatenate([bstarts[1:], [len(bb)]]) if len(bb) \
+            else bstarts
+        out.append(_s.pack("<i", len(bstarts)))
+        for s0, e0 in zip(bstarts, bends):
+            b = int(bb[s0])
+            # first leaf window of this bin's interval
+            if b >= leaf_off:
+                lvl = depth
+                w0 = b - leaf_off
+            else:
+                lvl = 0
+                acc = 0
+                for lv in range(depth + 1):
+                    off_l = ((1 << (3 * lv)) - 1) // 7
+                    nxt = ((1 << (3 * (lv + 1))) - 1) // 7
+                    if off_l <= b < nxt:
+                        lvl = lv
+                        break
+                w0 = (b - ((1 << (3 * lvl)) - 1) // 7) * \
+                    (1 << (3 * (depth - lvl)))
+            loffset = int(lin[w0]) if w0 < len(lin) else \
+                (int(lin[-1]) if len(lin) else 0)
+            out.append(_s.pack("<IQi", b, loffset, int(e0 - s0)))
+            for i in sel[s0:e0]:
+                out.append(_s.pack("<QQ", int(c_vb[i]), int(c_ve[i])))
+    out.append(_s.pack("<Q", 0))  # n_no_coor
+    dest = csi_path or bam_path + ".csi"
+    tmp = "%s.tmp.%d" % (dest, os.getpid())
+    bgzf.compress_to_path(b"".join(out), tmp)
+    os.replace(tmp, dest)
 
 
 def _build_bai_index_python(bam_path: str,
