@@ -216,6 +216,14 @@ class _ReducerBase:
         parts = self._allgather(("blocks", int(n_blocks)))
         return sum(p[1] for p in parts[: self.shard_id])
 
+    def exchange_state(self, piece: dict) -> list:
+        """Allgather the per-shard OutputState pieces so every shard can
+        format VCF body rows for its decode ranges (ownership-balanced #7;
+        pickle preserves the shared variants-list identities the writer's
+        per-block cache keys on)."""
+        parts = self._allgather(("state", piece))
+        return [p[1] for p in parts]
+
     def barrier(self) -> None:
         self._allgather(("barrier",))
 
@@ -300,9 +308,13 @@ def _shard_outputs_complete(prefix: str, opts: PhaserOptions) -> bool:
             "variant_connections.txt", "allele_config.txt",
             "singletons.haplotypes.part",
             "singletons.haplotypic_counts.part", "allelic_counts.part"]
-    if opts.write_vcf == 1:
-        need.append("vcf.gz")
-    return all(os.path.isfile(prefix + "." + s) for s in need)
+    ok = all(os.path.isfile(prefix + "." + s) for s in need)
+    if ok and opts.write_vcf == 1:
+        # position-sharded runs write body-only pieces; contig-sharded
+        # runs write whole per-shard VCFs
+        ok = os.path.isfile(prefix + ".vcfbody.gz") or \
+            os.path.isfile(prefix + ".vcf.gz")
+    return ok
 
 
 class MultihostReducer(_ReducerBase):
@@ -408,14 +420,26 @@ def merge_shard_outputs(o: str, n_shards: int, opts: PhaserOptions,
 
     if opts.write_vcf == 1:
         gz = o + ".vcf.gz"
-        with bgzf.BgzfWriter(gz) as w:
-            emitted = False
-            for p in pre:
-                path = p + ".vcf.gz"
-                if not os.path.isfile(path):
-                    continue
-                _stream_vcf_body(path, w, include_header=not emitted)
-                emitted = True
+        hdr = pre[0] + ".vcfhdr.gz"
+        if os.path.isfile(hdr):
+            # ownership-balanced parts: header (shard 0) + body pieces in
+            # shard order (shards hold contiguous global position spans,
+            # so plain concatenation reproduces the single-process bytes)
+            with bgzf.BgzfWriter(gz) as w:
+                _stream_vcf_body(hdr, w, include_header=True)
+                for p in pre:
+                    path = p + ".vcfbody.gz"
+                    if os.path.isfile(path):
+                        _stream_vcf_body(path, w, include_header=False)
+        else:
+            with bgzf.BgzfWriter(gz) as w:
+                emitted = False
+                for p in pre:
+                    path = p + ".vcf.gz"
+                    if not os.path.isfile(path):
+                        continue
+                    _stream_vcf_body(path, w, include_header=not emitted)
+                    emitted = True
         tabix.build_vcf_index(gz)
 
     if cleanup:
@@ -425,7 +449,7 @@ def merge_shard_outputs(o: str, n_shards: int, opts: PhaserOptions,
                         "singletons.haplotypes.part",
                         "singletons.haplotypic_counts.part",
                         "allelic_counts.part", "vcf.gz", "vcf.gz.tbi",
-                        "vcf.gz.csi", "ckpt"):
+                        "vcf.gz.csi", "vcfbody.gz", "vcfhdr.gz", "ckpt"):
                 path = p + "." + sfx
                 if os.path.isfile(path):
                     os.remove(path)

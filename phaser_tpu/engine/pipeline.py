@@ -620,20 +620,66 @@ def _run_phaser_inner(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         # ---- #7 VCF
         if opts.write_vcf == 1:
             log("#7. Outputting phased VCF...")
-            rsid_lookup = {}
-            for vr, _ in contig_states:
-                vt = vr.vt
-                for i, uid in enumerate(vt.unique_ids):
-                    rsid_lookup[uid] = vt.rsids_out[i]
-            with tracer.stage("#7 vcf write", "lines"):
-                # position-sharded runs: the per-shard VCF body carries ONLY
-                # owned contigs (decoded-but-not-owned contigs are written by
-                # their owner shard)
-                vcf_chrom = (",".join(own_order) if own_order else "\x00none") \
-                    if shard_plan is not None else chrom
-                res.unphased_phased, res.phase_corrections = write_phased_vcf(
-                    vcf, sample_column, o, vcf_chrom, writer.state, opts,
-                    csi_index=csi_index, rsid_lookup=rsid_lookup)
+            if shard_plan is not None:
+                # ownership-BALANCED: every shard formats the body rows of
+                # its weight-balanced DECODE ranges (not just owned
+                # contigs), using the owners' phase state merged through
+                # one collective — a 60%-weight contig's string-heavy VCF
+                # work no longer lands on a single owner (round-4 verdict
+                # #3; reference behavior preserved: byte order of
+                # /root/reference/phaser/phaser.py:1661-1855)
+                st = writer.state
+                piece = {"haplotype_lookup": st.haplotype_lookup,
+                         "gw_stat_lookup": st.gw_stat_lookup,
+                         "max_maf_lookup": st.max_maf_lookup,
+                         "gw_phase": st.gw_phase,
+                         "ind_alleles": st.ind_alleles}
+                with tracer.stage("#7 state exchange", "entries"):
+                    parts = dist_reduce.exchange_state(piece)
+                from .output_stage import OutputState
+                merged = OutputState()
+                for pc in parts:
+                    merged.haplotype_lookup.update(pc["haplotype_lookup"])
+                    merged.gw_stat_lookup.update(pc["gw_stat_lookup"])
+                    merged.max_maf_lookup.update(pc["max_maf_lookup"])
+                    merged.gw_phase.update(pc["gw_phase"])
+                    merged.ind_alleles.update(pc["ind_alleles"])
+                rsid_lookup = {}
+                for c in decode_order:
+                    vt = tables[c]
+                    for i, uid in enumerate(vt.unique_ids):
+                        rsid_lookup[uid] = vt.rsids_out[i]
+                # keyed by the VCF body's contig column = the VCF's own
+                # contig names (NOT vt.chrom, which carries --chr_prefix)
+                ranges_by_chrom = {c: shard_plan.decode[c]
+                                   for c in decode_order}
+                vcf_chrom = (",".join(decode_order)
+                             if decode_order else "\x00none")
+                with tracer.stage("#7 vcf write", "lines"):
+                    res.unphased_phased, res.phase_corrections = \
+                        write_phased_vcf(
+                            vcf, sample_column, o, vcf_chrom, merged, opts,
+                            csi_index=csi_index, rsid_lookup=rsid_lookup,
+                            pos_ranges=ranges_by_chrom, body_only=True,
+                            write_header_file=dist_reduce.shard_id == 0)
+            else:
+                rsid_lookup = {}
+                for vr, _ in contig_states:
+                    vt = vr.vt
+                    for i, uid in enumerate(vt.unique_ids):
+                        rsid_lookup[uid] = vt.rsids_out[i]
+                with tracer.stage("#7 vcf write", "lines"):
+                    # contig-sharded runs: the per-shard VCF body carries
+                    # ONLY owned contigs
+                    vcf_chrom = (",".join(own_order)
+                                 if own_order else "\x00none") \
+                        if dist_reduce is not None and split_outputs \
+                        else chrom
+                    res.unphased_phased, res.phase_corrections = \
+                        write_phased_vcf(
+                            vcf, sample_column, o, vcf_chrom, writer.state,
+                            opts, csi_index=csi_index,
+                            rsid_lookup=rsid_lookup)
 
         total_time = time.time() - t0
         tracer.finish()

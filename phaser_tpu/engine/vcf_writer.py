@@ -29,15 +29,35 @@ _FORMAT_HEADERS = [
 def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
                      chromosome_of_interest: str, state: OutputState,
                      opts: PhaserOptions, csi_index: bool = False,
-                     rsid_lookup=None) -> Tuple[int, int]:
-    """Returns (unphased_phased, phase_corrections)."""
+                     rsid_lookup=None, pos_ranges=None,
+                     body_only: bool = False,
+                     write_header_file: bool = False) -> Tuple[int, int]:
+    """Returns (unphased_phased, phase_corrections).
+
+    pos_ranges + body_only: ownership-balanced sharded form — write ONLY
+    body rows whose (contig, position) falls in this shard's decode
+    ranges (`pos_ranges`: contig -> [(lo, hi)) 0-based), to
+    `<out_prefix>.vcfbody.gz` with no header; ranges tile each contig and
+    shards hold contiguous global spans, so concatenating the per-shard
+    bodies in shard order reproduces the single-process byte order.
+    write_header_file additionally emits `<out_prefix>.vcfhdr.gz` (the
+    processed header block alone) for the merge to prepend."""
     set_phased_vars = set(state.haplotype_lookup.keys())
     _fmt_cache = {}
     _block_cache = {}
     phase_corrections = 0
     unphased_phased = 0
     out_lines: List[str] = []
+    header_lines: List[str] = []
     format_text = ""
+    chrom_set = set(chromosome_of_interest.split(",")) \
+        if chromosome_of_interest != "" else None
+
+    def _emit_header(line: str) -> None:
+        if body_only:
+            header_lines.append(line)
+        else:
+            out_lines.append(line)
 
     chrom_arg = chromosome_of_interest if chromosome_of_interest != "" else None
     for raw_line in iter_vcf_lines(vcf_path, chrom_arg):
@@ -45,24 +65,28 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
         vcf_columns = line.split("\t")
         if "##FORMAT" in line:
             format_text += line + "\n"
-            out_lines.append(line)
+            _emit_header(line)
         elif line.startswith("#CHROM"):
             for tag, hdr in _FORMAT_HEADERS:
                 if ("##FORMAT=<ID=%s," % tag) not in format_text:
-                    out_lines.append(hdr)
+                    _emit_header(hdr)
             if opts.gw_phase_vcf == 2:
                 if "##FORMAT=<ID=PS," not in format_text:
-                    out_lines.append("##FORMAT=<ID=PS,Number=1,Type=String,"
-                                     "Description=\"Phase Set\">")
-            out_lines.append("\t".join(vcf_columns[0:9] + [vcf_columns[9]]))
+                    _emit_header("##FORMAT=<ID=PS,Number=1,Type=String,"
+                                 "Description=\"Phase Set\">")
+            _emit_header("\t".join(vcf_columns[0:9] + [vcf_columns[9]]))
         elif line[0:1] == "#":
-            out_lines.append(line)
+            _emit_header(line)
         else:
             chrom = vcf_columns[0]
             pos = int(vcf_columns[1])
-            if chromosome_of_interest != "" and \
-                    chrom not in chromosome_of_interest.split(","):
+            if chrom_set is not None and chrom not in chrom_set:
                 continue
+            if pos_ranges is not None:
+                ranges = pos_ranges.get(chrom)
+                if ranges is None or not any(
+                        lo <= pos - 1 < hi for lo, hi in ranges):
+                    continue
             if "GT" in vcf_columns[8]:
                 # format strings repeat across lines: parse each DISTINCT
                 # one once (gt position, tag indices, extended header) —
@@ -183,6 +207,15 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
 
             out_lines.append("\t".join(vcf_columns[0:9] + [vcf_columns[9]]))
 
+    if body_only:
+        if write_header_file:
+            bgzf.compress_to_path(
+                ("\n".join(header_lines) + "\n").encode(),
+                out_prefix + ".vcfhdr.gz")
+        body = ("\n".join(out_lines) + "\n").encode() if out_lines \
+            else b""
+        bgzf.compress_to_path(body, out_prefix + ".vcfbody.gz")
+        return unphased_phased, phase_corrections
     text = ("\n".join(out_lines) + "\n").encode()
     gz_path = out_prefix + ".vcf.gz"
     bgzf.compress_to_path(text, gz_path)

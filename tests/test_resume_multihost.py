@@ -95,7 +95,8 @@ def test_multihost_resume_after_kill(tmp_path):
     os.remove(prefix + ".shard0.ckpt")
     for sfx in FILES + ["singletons.haplotypes.part",
                         "singletons.haplotypic_counts.part",
-                        "allelic_counts.part", "vcf.gz"]:
+                        "allelic_counts.part", "vcf.gz", "vcfbody.gz",
+                        "vcfhdr.gz"]:
         p = prefix + ".shard0." + sfx
         if os.path.isfile(p):
             os.remove(p)
