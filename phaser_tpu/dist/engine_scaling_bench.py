@@ -207,7 +207,9 @@ def main(argv=None) -> int:
                     _gen_fixture(wtd, args.reads * n, seed=99 + n)
                 wv = os.path.join(wtd, "sample.vcf.gz")
                 wb = os.path.join(wtd, "sample.bam")
-                shard_walls = _run_n(wv, wb, os.path.join(wtd, "o"), n, pin)
+                runs = [_run_n(wv, wb, os.path.join(wtd, "o"), n, pin)
+                        for _ in range(2)]
+                shard_walls = min(runs, key=max)
                 w = max(shard_walls)
                 eff = t1 / w
                 dest = result["weak" if n <= n_cores or not pin

@@ -61,6 +61,17 @@ def write_phased_vcf(vcf_path: str, sample_column: int, out_prefix: str,
 
     chrom_arg = chromosome_of_interest if chromosome_of_interest != "" else None
     for raw_line in iter_vcf_lines(vcf_path, chrom_arg):
+        if pos_ranges is not None and raw_line[0:1] != "#":
+            # range-sharded body: shards share contigs, so filter BEFORE
+            # the per-line cut/split work — a cheap two-field peek keeps
+            # each body line's full processing on exactly one shard
+            c_, p_, _ = raw_line.split("\t", 2)
+            rngs = pos_ranges.get(c_)
+            if rngs is None:
+                continue
+            p0 = int(p_) - 1
+            if not any(lo <= p0 < hi for lo, hi in rngs):
+                continue
         line = cut_columns(raw_line, sample_column)
         vcf_columns = line.split("\t")
         if "##FORMAT" in line:
