@@ -278,14 +278,23 @@ def bench_engine_device_fraction():
         vcf, bam, _ = datagen.write_fixture_dir(
             td, seed=2, contigs=("chr20",), n_variants_per_contig=150,
             n_reads_per_contig=4000)
-        d0, t0 = trace.device_seconds(), time.perf_counter()
-        run_phaser(vcf=vcf, bam=bam, sample="SAMPLE1",
-                   o=os.path.join(td, "out"), mapq="10", baseq=10,
-                   paired_end="1", device="auto", opts=PhaserOptions(),
-                   log=lambda *a: None)
-        wall = time.perf_counter() - t0
-        dev = trace.device_seconds() - d0
+        # two passes: the first may pay per-process kernel compiles that
+        # the tunnel's session-scoped compile cache fails to serve (26-47 s
+        # observed, intermittent); the STEADY-STATE fraction — the number
+        # this metric is about — comes from the second pass, with the cold
+        # wall reported alongside so the compile cost stays visible
+        walls, devs = [], []
+        for _ in range(2):
+            d0, t0 = trace.device_seconds(), time.perf_counter()
+            run_phaser(vcf=vcf, bam=bam, sample="SAMPLE1",
+                       o=os.path.join(td, "out"), mapq="10", baseq=10,
+                       paired_end="1", device="auto", opts=PhaserOptions(),
+                       log=lambda *a: None)
+            walls.append(time.perf_counter() - t0)
+            devs.append(trace.device_seconds() - d0)
+        wall, dev = walls[-1], devs[-1]
     return {"engine_device_s": dev, "engine_wall_s": wall,
+            "engine_cold_wall_s": walls[0],
             "engine_device_fraction": dev / wall if wall > 0 else 0.0}
 
 
@@ -536,6 +545,7 @@ def main():
         "engine_device_fraction": round(eng["engine_device_fraction"], 4),
         "engine_device_s": round(eng["engine_device_s"], 3),
         "engine_wall_s": round(eng["engine_wall_s"], 3),
+        "engine_cold_wall_s": round(eng["engine_cold_wall_s"], 3),
     }
     result.update(sparse)
     result.update(delta)
