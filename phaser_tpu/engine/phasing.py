@@ -95,7 +95,15 @@ def _score_configs(variants: Sequence[int], ac: AlleleConn,
         for i, ch in enumerate(cfg[:n]):
             if ch != "-":
                 V[s, i * 2 + int(ch)] = 1
-    return np.einsum("si,ij,sj->s", V, M, V)
+    return _vmv_scores(V, M)
+
+
+def _vmv_scores(V: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """Batched v^T M v over 0/1 rows, through BLAS: float32 sgemm then a
+    fused row dot — ~10x numpy's generic int einsum path at 2^14 rows,
+    exact (intermediates are small integers, < 2^24)."""
+    Vf = V.astype(np.float32)
+    return ((Vf @ M.astype(np.float32)) * Vf).sum(1).astype(np.int64)
 
 
 def _device_full_enumeration(variants: Sequence[int], ac: AlleleConn,
@@ -199,7 +207,7 @@ def _enumerate_phase_host(variants: Sequence[int], ac: AlleleConn,
     rows = np.repeat(np.arange(S), n)
     cols = (2 * np.arange(n)[None, :] + alleles).reshape(-1)
     V[rows, cols] = 1
-    scores = np.einsum("si,ij,sj->s", V, M, V)
+    scores = _vmv_scores(V, M)
     max_support = int(scores.max())
     best = np.flatnonzero(scores == max_support)
     if len(best) == 1:

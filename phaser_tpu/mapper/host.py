@@ -385,11 +385,24 @@ def _merge_rows(bd: BamData, vt: VariantTable, baseq: int, splice: bool,
 
     if len(exact_sel):
         # per-read insertion flag for the skip rule (fast path owns simple
-        # rows of non-insertion reads)
-        has_ins_sel: Dict[int, bool] = {}
-        for ri in exact_sel:
-            cig = bd.cigar_flat[bd.cigar_off[ri]:bd.cigar_off[ri + 1]]
-            has_ins_sel[int(ri)] = bool(np.any((cig & 0xF) == OP_I))
+        # rows of non-insertion reads) — one vectorized gather over the
+        # selected reads' CIGAR spans (was a per-read numpy-slice loop)
+        sel = np.asarray(exact_sel, np.int64)
+        starts = bd.cigar_off[sel]
+        counts = bd.cigar_off[sel + 1] - starts
+        total = int(counts.sum())
+        if total:
+            base = np.repeat(np.concatenate(
+                [[0], np.cumsum(counts)[:-1]]), counts)
+            pos = np.repeat(starts, counts) + (np.arange(total) - base)
+            row_of = np.repeat(np.arange(len(sel)), counts)
+            has_i = np.zeros(len(sel), bool)
+            np.logical_or.at(has_i, row_of,
+                             (bd.cigar_flat[pos] & 0xF) == OP_I)
+        else:
+            has_i = np.zeros(len(sel), bool)
+        has_ins_sel: Dict[int, bool] = dict(
+            zip(sel.tolist(), has_i.tolist()))
         native_rows = _exact_rows_native(bd, exact_sel, vt, baseq, splice)
         if native_rows is not None:
             for ri, vi, allele in native_rows:
