@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..io.bam import BamData
+from ..io.bam import BamData, NameView
 from ..mapper.host import ContigHits
 from .varmap import VariantTable
 
@@ -73,7 +73,8 @@ def build_contig_rows(vt: VariantTable,
     per-entry global sequence offsets aligned with per_bam.
     """
     n_bams = max((b for b, _, _ in per_bam), default=-1) + 1
-    bam_l, var_l, al_l, name_l, seq_l = [], [], [], [], []
+    bam_l, var_l, al_l, seq_l = [], [], [], []
+    name_srcs = []   # per contributing entry: ("v", blob, off, ridx) | ("l", [bytes])
     for entry_i, (bam_index, chunk, hits) in enumerate(per_bam):
         cutoff = as_cutoffs.get(bam_index)
         n = len(hits)
@@ -94,7 +95,13 @@ def build_contig_rows(vt: VariantTable,
         bam_l.append(np.full(len(kidx), bam_index, np.int16))
         var_l.append(hits.var_idx[kidx])
         al_l.append(allele_idx[kidx])
-        name_l.extend(chunk.names[int(hits.read_idx[i])] for i in kidx)
+        ridx = hits.read_idx[kidx]
+        nm = chunk.names
+        if isinstance(nm, NameView):
+            name_srcs.append(("v", np.frombuffer(nm.blob, np.uint8),
+                              nm.off, ridx))
+        else:
+            name_srcs.append(("l", [nm[int(i)] for i in ridx]))
         seq_l.append(off + np.arange(len(kidx), dtype=np.int64))
 
     if not var_l:
@@ -105,9 +112,44 @@ def build_contig_rows(vt: VariantTable,
     var_idx = np.concatenate(var_l)
     allele_idx = np.concatenate(al_l)
     row_seq = np.concatenate(seq_l)
-    # first-seen-order uid assignment per read name
-    name_arr = np.array(name_l, dtype=object)
-    uniq, first_pos, inv = np.unique(name_arr, return_index=True,
+    # first-seen-order uid assignment per read name: one vectorized blob
+    # gather into a fixed-width matrix + S-dtype (memcmp) unique — the
+    # per-row python bytes extraction and object-array unique this
+    # replaces were the hottest part of the accumulate stage
+    lens_list = []
+    for t in name_srcs:
+        if t[0] == "v":
+            _, _, noff, ridx = t
+            lens_list.append((noff[ridx + 1] - noff[ridx]).astype(np.int64))
+        else:
+            lens_list.append(np.array([len(x) for x in t[1]], np.int64))
+    W = max(int(max((int(l.max()) for l in lens_list if len(l)),
+                    default=1)), 1)
+    n_rows = int(sum(len(l) for l in lens_list))
+    mat = np.zeros((n_rows, W), np.uint8)
+    flat = mat.reshape(-1)
+    r0 = 0
+    for t, lens in zip(name_srcs, lens_list):
+        k = len(lens)
+        if t[0] == "v":
+            _, blob, noff, ridx = t
+            tot = int(lens.sum())
+            if tot:
+                cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                within = np.arange(tot) - np.repeat(cum, lens)
+                srcp = np.repeat(noff[ridx].astype(np.int64), lens) + within
+                dst = np.repeat(np.arange(r0, r0 + k) * W, lens) + within
+                flat[dst] = blob[srcp]
+        else:
+            for j, b in enumerate(t[1]):
+                if len(b):
+                    mat[r0 + j, :len(b)] = np.frombuffer(b, np.uint8)
+        r0 += k
+    names_s = mat.view("S%d" % W).reshape(-1)
+    # unique's sort order (padded lexicographic) differs from the object
+    # path's, but uids re-rank by FIRST-SEEN position, so grouping is all
+    # that matters; padded equality == byte equality (names carry no NULs)
+    uniq, first_pos, inv = np.unique(names_s, return_index=True,
                                      return_inverse=True)
     order = np.argsort(first_pos, kind="stable")
     rank_of_sorted = np.empty(len(uniq), np.int64)
