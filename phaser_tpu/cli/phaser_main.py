@@ -57,8 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_network", default="")
     p.add_argument("--process_slow", type=int, default=0)         # accepted; engine streams
     p.add_argument("--resume", type=int, default=0,
-                   help="With --process_slow 1: skip contigs whose outputs "
-                        "already exist (phaser_tpu extension).")
+                   help="Reuse completed work from a failed previous run: "
+                        "with --process_slow 1, skip contigs whose outputs "
+                        "exist; with --threads N (multiprocess), replay "
+                        "completed shards' journals and recompute only "
+                        "lost shards (phaser_tpu extension).")
     p.add_argument("--device", default="auto",
                    help="Compute device for hot kernels: auto|tpu|cpu|host "
                         "(phaser_tpu extension).")
@@ -115,7 +118,8 @@ def main(argv=None) -> int:
         import functools
         _run = functools.partial(run_phaser_multiproc,
                                  max(1, args.threads), chrom=args.chr,
-                                 opts=opts, device=device)
+                                 opts=opts, device=device,
+                                 resume=bool(args.resume))
     elif args.threads > 1:
         # default --device auto: N position-sharded engine THREADS sharing
         # the one local accelerator (JAX dispatch is thread-safe; packer
