@@ -390,15 +390,19 @@ class BlockOutputWriter:
         ref_eq_b = [vt.all_alleles[v_idx[j]][0] == alleles[1][j]
                     for j in range(len(v_idx))]
         rsids_out = [vt.rsids_out[v] for v in v_idx]
+        # per-j suffixes precomputed once per block: the pair loop does one
+        # concat per row
+        sfx = [(variants[j] + "\t" + rsids_out[j] + "\ttrans\n",
+                variants[j] + "\t" + rsids_out[j] + "\tcis\n")
+               for j in range(len(v_idx))]
         cfg_rows = []
         for i, variant_a in enumerate(variants):
             head = variant_a + "\t" + rsids_out[i] + "\t"
             ea = ref_eq_a[i]
-            for j, variant_b in enumerate(variants):
-                if variant_a != variant_b:
-                    cfg_rows.append(
-                        head + variant_b + "\t" + rsids_out[j] + "\t" +
-                        ("trans" if ea == ref_eq_b[j] else "cis") + "\n")
+            cfg_rows.extend(
+                head + sfx[j][0 if ea == ref_eq_b[j] else 1]
+                for j, variant_b in enumerate(variants)
+                if variant_a != variant_b)
         self.f_cfg.write("".join(cfg_rows))
 
     # ------------------------------------------------------------------
