@@ -516,8 +516,8 @@ def run_phaser_sharded_threads(*, n_shards: int, vcf: str, bam: str,
         plans = plan_shards(bam, contigs, n_shards)
     else:
         n_shards = max(1, min(n_shards, len(contigs)))
-    log("     sharded engine: %d position shards (threads, device=%s)"
-        % (n_shards, device))
+    log("     sharded engine: %d %s shards (threads, device=%s)"
+        % (n_shards, "position" if position_shards else "contig", device))
     assign = split_contigs(contigs, n_shards)
     rank_of = {c: i for i, c in enumerate(contigs)}
     group = _ThreadGroup(n_shards)
