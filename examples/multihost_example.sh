@@ -15,6 +15,12 @@
 # --platform '' (keep the TPU runtime), --device auto (per-process chip via
 # mapper.dispatch), process-id = the host index, and a coordinator address
 # reachable from every host.
+#
+# FAILURE RECOVERY: every shard journals its collective payloads to
+# <out>.shardK.ckpt the moment its engine run completes. If the job dies
+# (a host crash, a lost rank), relaunch the SAME command with RESUME=1:
+# completed shards replay their journals (no recompute) and only the lost
+# shards run again — merged outputs stay byte-identical.
 set -euo pipefail
 VCF=${1:?vcf.gz}; BAM=${2:?bam}; SAMPLE=${3:?sample}; OUT=${4:?out-prefix}
 N=${5:-2}
@@ -25,7 +31,7 @@ for (( pid=0; pid<N; pid++ )); do
   python -m phaser_tpu.dist.engine_multihost \
     --vcf "$VCF" --bam "$BAM" --sample "$SAMPLE" --o "$OUT" \
     --num-processes "$N" --process-id "$pid" \
-    --position-shards \
+    --position-shards ${RESUME:+--resume} \
     --coordinator "localhost:$PORT" &
   pids+=($!)
 done
