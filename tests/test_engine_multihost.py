@@ -305,3 +305,34 @@ def test_position_sharded_empty_shards(tmp_path):
     got = _snapshot(str(tmp_path / "p16"))
     for k in want:
         assert got[k] == want[k], "file %s differs at 16 shards" % k
+
+
+def test_thread_sharded_flag_matrix_bit_identical(tmp_path):
+    """Non-default writer options under POSITION SHARDS: the balanced VCF
+    body path (round-5) must reproduce the single-process bytes for the
+    GT-rewrite modes (gw_phase_vcf 1 and 2 — mode 2 exercises the PS
+    branch, which must never mutate the writer's cached FORMAT lists),
+    output_read_ids (uid name columns through the row exchange), and
+    unique_ids."""
+    import pytest
+
+    vcf, bam, _ = _fixture(tmp_path)
+    for i, opts in enumerate((
+            PhaserOptions(gw_phase_vcf=1),
+            PhaserOptions(gw_phase_vcf=2,
+                          gw_phase_vcf_min_confidence=0.99),
+            PhaserOptions(output_read_ids=1),
+            PhaserOptions(unique_ids=1))):
+        single = str(tmp_path / ("fs%d" % i))
+        run_phaser(vcf=vcf, bam=bam, sample="SAMPLE1", o=single, mapq="10",
+                   baseq=10, paired_end="1", opts=opts, log=lambda *a: None)
+        want = _snapshot(single)
+        sharded = str(tmp_path / ("fm%d" % i))
+        run_phaser_sharded_threads(
+            n_shards=3, vcf=vcf, bam=bam, sample="SAMPLE1", o=sharded,
+            mapq="10", baseq=10, paired_end="1", opts=opts,
+            position_shards=True, log=lambda *a: None)
+        got = _snapshot(sharded)
+        for k in want:
+            assert got[k] == want[k], \
+                "file %s differs (opts case %d)" % (k, i)
