@@ -216,6 +216,17 @@ class _ReducerBase:
         parts = self._allgather(("blocks", int(n_blocks)))
         return sum(p[1] for p in parts[: self.shard_id])
 
+    def exchange_blocks(self, outgoing) -> list:
+        """outgoing: [(block_index, delegate_sid, bundle)] produced by
+        this shard (the owner of those blocks). Returns [(block_index,
+        bundle)] assigned to THIS shard, sorted by block index — the
+        ownership-balanced #6 path (dist.block_exchange)."""
+        parts = self._allgather(("blocks_x6", outgoing))
+        mine = [(bi, bundle) for p in parts for (bi, d, bundle) in p[1]
+                if d == self.shard_id]
+        mine.sort(key=lambda t: t[0])
+        return mine
+
     def exchange_state(self, piece: dict) -> list:
         """Allgather the per-shard OutputState pieces so every shard can
         format VCF body rows for its decode ranges (ownership-balanced #7;
@@ -303,11 +314,16 @@ def replay_journal(base: _ReducerBase, path: str) -> PhaserResult:
     return PhaserResult(**d)
 
 
-def _shard_outputs_complete(prefix: str, opts: PhaserOptions) -> bool:
+def _shard_outputs_complete(prefix: str, opts: PhaserOptions,
+                            delegated: bool = False) -> bool:
     need = ["haplotypes.txt", "haplotypic_counts.txt",
             "variant_connections.txt", "allele_config.txt",
             "singletons.haplotypes.part",
             "singletons.haplotypic_counts.part", "allelic_counts.part"]
+    if delegated:
+        # position-sharded multi-shard runs emit block rows as keyed parts
+        need += ["blocks.haplotypes.part", "blocks.haplotypic_counts.part",
+                 "blocks.allele_config.part"]
     ok = all(os.path.isfile(prefix + "." + s) for s in need)
     if ok and opts.write_vcf == 1:
         # position-sharded runs write body-only pieces; contig-sharded
@@ -396,16 +412,26 @@ def merge_shard_outputs(o: str, n_shards: int, opts: PhaserOptions,
 
     pre = [o + ".shard%d" % s for s in range(n_shards)]
 
-    # block sections concatenate; singleton sections merge by key
-    for sfx, part_sfx in (("haplotypes.txt", "singletons.haplotypes.part"),
-                          ("haplotypic_counts.txt",
-                           "singletons.haplotypic_counts.part")):
+    # block sections: either whole per-shard sections concatenate
+    # (contig-sharded runs) or delegated keyed `.blocks.*.part` rows merge
+    # back into global block order (position-sharded ownership-balanced
+    # #6); singleton sections always merge by first_seen key
+    for sfx, blk_sfx, part_sfx in (
+            ("haplotypes.txt", "blocks.haplotypes.part",
+             "singletons.haplotypes.part"),
+            ("haplotypic_counts.txt", "blocks.haplotypic_counts.part",
+             "singletons.haplotypic_counts.part")):
         _concat_with_header([p + "." + sfx for p in pre], o + "." + sfx)
         with open(o + "." + sfx, "a") as out:
+            _merge_keyed([p + "." + blk_sfx for p in pre], out)
             _merge_keyed([p + "." + part_sfx for p in pre], out)
 
-    for sfx in ("variant_connections.txt", "allele_config.txt"):
-        _concat_with_header([p + "." + sfx for p in pre], o + "." + sfx)
+    _concat_with_header([p + ".variant_connections.txt" for p in pre],
+                        o + ".variant_connections.txt")
+    _concat_with_header([p + ".allele_config.txt" for p in pre],
+                        o + ".allele_config.txt")
+    with open(o + ".allele_config.txt", "a") as out:
+        _merge_keyed([p + ".blocks.allele_config.part" for p in pre], out)
 
     with open(o + ".allelic_counts.txt", "w") as out:
         out.write(ALLELIC_COUNTS_HEADER)
@@ -449,7 +475,10 @@ def merge_shard_outputs(o: str, n_shards: int, opts: PhaserOptions,
                         "singletons.haplotypes.part",
                         "singletons.haplotypic_counts.part",
                         "allelic_counts.part", "vcf.gz", "vcf.gz.tbi",
-                        "vcf.gz.csi", "vcfbody.gz", "vcfhdr.gz", "ckpt"):
+                        "vcf.gz.csi", "vcfbody.gz", "vcfhdr.gz", "ckpt",
+                        "blocks.haplotypes.part",
+                        "blocks.haplotypic_counts.part",
+                        "blocks.allele_config.part"):
                 path = p + "." + sfx
                 if os.path.isfile(path):
                     os.remove(path)
@@ -602,8 +631,11 @@ def run_phaser_multihost(*, vcf: str, bam: str, sample: str, o: str,
     red.barrier()
     prefix = o + ".shard%d" % process_id
     jpath = prefix + ".ckpt"
+    from .block_exchange import balance_blocks_enabled
+    delegated = plans is not None and num_processes > 1 \
+        and balance_blocks_enabled()
     if resume and os.path.isfile(jpath) and \
-            _shard_outputs_complete(prefix, opts):
+            _shard_outputs_complete(prefix, opts, delegated=delegated):
         log("     shard %d: replaying journal (outputs already complete)"
             % process_id)
         res = replay_journal(red, jpath)

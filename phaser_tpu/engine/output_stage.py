@@ -69,12 +69,34 @@ def _first_seen_unique(arr: np.ndarray) -> np.ndarray:
     return uniq[np.argsort(first, kind="stable")]
 
 
+class _KeyedOut:
+    """File shim prefixing every written line with the current block key —
+    block-section rows of a DELEGATED block go to `.blocks.*.part` files
+    and the cross-shard merge interleaves them back into global block
+    order (dist.block_exchange)."""
+
+    __slots__ = ("fh", "owner")
+
+    def __init__(self, fh, owner: "BlockOutputWriter"):
+        self.fh = fh
+        self.owner = owner
+
+    def write(self, text: str) -> None:
+        key = self.owner.block_key
+        for ln in text.splitlines(True):
+            self.fh.write("%d\t%s" % (key, ln))
+
+    def close(self) -> None:
+        self.fh.close()
+
+
 class BlockOutputWriter:
     def __init__(self, out_prefix: str, opts: PhaserOptions,
                  bam_list: List[str], bam_names: List[str],
                  haplo_count_bam_exclude: Sequence[int],
                  set_haplo_blacklist: Set[str],
-                 singleton_files: bool = False):
+                 singleton_files: bool = False,
+                 block_files: bool = False):
         """singleton_files: divert singleton rows into keyed `.part` files
         ("<first_seen_key>\\t<row>") instead of appending to the main
         outputs. Used by the multi-shard engine (dist.engine_multihost):
@@ -115,6 +137,25 @@ class BlockOutputWriter:
                 out_prefix + ".singletons.haplotypes.part", "w")
             self.f_ase_sing = open(
                 out_prefix + ".singletons.haplotypic_counts.part", "w")
+        self.block_key = 0
+        self.block_files = block_files
+        self._mains = []
+        if block_files:
+            # block-section rows route to keyed part files (the main files
+            # above keep just their headers for the merge); process_block
+            # itself stays unchanged. Requires singleton_files (sharded
+            # runs always split singletons).
+            assert singleton_files, "block_files requires singleton_files"
+            self._mains = [self.f_hap, self.f_ase, self.f_cfg]
+            self.f_hap = _KeyedOut(open(
+                out_prefix + ".blocks.haplotypes.part", "w",
+                buffering=1 << 20), self)
+            self.f_ase = _KeyedOut(open(
+                out_prefix + ".blocks.haplotypic_counts.part", "w",
+                buffering=1 << 20), self)
+            self.f_cfg = _KeyedOut(open(
+                out_prefix + ".blocks.allele_config.part", "w",
+                buffering=1 << 20), self)
         self.out_prefix = out_prefix
 
     def _emit_single_hap(self, key: int, line: str) -> None:
@@ -539,6 +580,8 @@ class BlockOutputWriter:
         self.f_hap.close()
         self.f_ase.close()
         self.f_cfg.close()
+        for fh in self._mains:
+            fh.close()
         if self.f_hap_sing is not None:
             self.f_hap_sing.close()
         if self.f_ase_sing is not None:

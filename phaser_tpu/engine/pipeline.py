@@ -599,17 +599,52 @@ def _run_phaser_inner(*, vcf: str, bam: str, sample: str, o: str, mapq: str,
         log("#6. Outputting haplotypes...")
         tracer_stage_out = tracer.stage("#6 outputs", "blocks")
         tracer_stage_out.__enter__()
+        from ..dist.block_exchange import balance_blocks_enabled
+        delegate6 = (shard_plan is not None and dist_reduce is not None
+                     and dist_reduce.n_shards > 1
+                     and balance_blocks_enabled())
         writer = BlockOutputWriter(o, opts, bam_list, bam_names, excl,
                                    set_haplo_blacklist,
-                                   singleton_files=split_outputs)
+                                   singleton_files=split_outputs,
+                                   block_files=delegate6)
         # PI block indices are assigned in global processing order; under a
         # multi-shard run each shard starts at the sum of earlier shards'
         # block counts (len(final) == blocks this shard will emit)
         base = (dist_reduce.block_base(len(final))
                 if dist_reduce is not None else 0)
         writer.state.block_count = pi_block_value + base
-        for vr, conn, phased in final:
-            writer.process_block(vr, conn, phased)
+        if delegate6:
+            # ownership-balanced #6: formatting a block needs only its own
+            # slice of the contig state, so blocks spread round-robin by
+            # global index across shards through one collective; rows land
+            # in keyed parts the merge interleaves back into global block
+            # order (round-4 verdict #3; dist.block_exchange)
+            from ..dist.block_exchange import (bundle_block, delegate_of,
+                                               unbundle_block)
+            first_bi = pi_block_value + base
+            n_sh = dist_reduce.n_shards
+            own_ids: List[str] = []
+            outgoing6 = []
+            for k_i, (vr, conn, phased) in enumerate(final):
+                bi = first_bi + k_i + 1
+                own_ids += [vr.vt.unique_ids[v] for v, _ in phased]
+                outgoing6.append((bi, delegate_of(bi, n_sh), bundle_block(
+                    vr, conn, phased, len(bam_list),
+                    opts.output_read_ids == 1)))
+            mine6 = dist_reduce.exchange_blocks(outgoing6)
+            for bi, bundle in mine6:
+                vr_s, conn_s, phased_s = unbundle_block(bundle)
+                writer.state.block_count = bi - 1
+                writer.block_key = bi
+                writer.process_block(vr_s, conn_s, phased_s)
+            # owner-side bookkeeping (independent of where formatting ran):
+            # this shard's phased-variant ids gate ITS singleton sections,
+            # and the global block count closes over its own blocks
+            writer.state.all_variant_ids = own_ids
+            writer.state.block_count = first_bi + len(final)
+        else:
+            for vr, conn, phased in final:
+                writer.process_block(vr, conn, phased)
         res.n_blocks = writer.state.block_count
         res.phased_variants = len(writer.state.all_variant_ids)
         if opts.unphased_vars == 1:

@@ -336,3 +336,41 @@ def test_thread_sharded_flag_matrix_bit_identical(tmp_path):
         for k in want:
             assert got[k] == want[k], \
                 "file %s differs (opts case %d)" % (k, i)
+
+
+def test_thread_sharded_balanced_blocks_bit_identical(tmp_path,
+                                                      monkeypatch):
+    """Opt-in block-formatting delegation (PHASER_TPU_BALANCE_BLOCKS=1):
+    owners ship per-block slices, every shard formats a round-robin share
+    into keyed parts, and the merge interleaves them back — byte-identical
+    to the single-process run, including with read-id columns (uid names
+    shipped per block)."""
+    import phaser_tpu.dist.block_exchange as bx
+
+    vcf, bam, _ = _fixture(tmp_path)
+    monkeypatch.setenv("PHASER_TPU_BALANCE_BLOCKS", "1")
+    bundled = []
+    orig_bundle = bx.bundle_block
+    monkeypatch.setattr(
+        bx, "bundle_block",
+        lambda *a, **k: (bundled.append(1) or orig_bundle(*a, **k)))
+    for i, opts in enumerate((PhaserOptions(),
+                              PhaserOptions(output_read_ids=1))):
+        single = str(tmp_path / ("bs%d" % i))
+        run_phaser(vcf=vcf, bam=bam, sample="SAMPLE1", o=single, mapq="10",
+                   baseq=10, paired_end="1", opts=opts, log=lambda *a: None)
+        want = _snapshot(single)
+        sharded = str(tmp_path / ("bb%d" % i))
+        run_phaser_sharded_threads(
+            n_shards=3, vcf=vcf, bam=bam, sample="SAMPLE1", o=sharded,
+            mapq="10", baseq=10, paired_end="1", opts=opts,
+            position_shards=True, log=lambda *a: None)
+        got = _snapshot(sharded)
+        for k in want:
+            assert got[k] == want[k], \
+                "file %s differs (balanced blocks, opts %d)" % (k, i)
+        # the delegated path actually ran (bundles were produced) and
+        # its keyed parts were merged + cleaned
+        assert bundled, "delegation never engaged"
+        assert not os.path.isfile(sharded +
+                                  ".shard0.blocks.haplotypes.part")
