@@ -247,19 +247,33 @@ def build_connections(vr: VariantReads, noise_e: float,
     va = np.where(swap, p_hi, p_lo)
     vb = np.where(swap, p_lo, p_hi)
 
-    # phase concordance (test_variant_connection :1607-1620)
-    phase_concordant: List = []
-    for k in range(P):
-        a, b = int(va[k]), int(vb[k])
-        pa, pb = vt.phases[a], vt.phases[b]
-        pc = "."
-        if "-" not in pa and "-" not in pb:
-            inda, indb = vt.ind_alleles[a], vt.ind_alleles[b]
-            if config_a[k] > config_b[k]:
-                pc = 1 if pa.index(inda[0]) == pb.index(indb[0]) else 0
-            elif config_a[k] < config_b[k]:
-                pc = 1 if pa.index(inda[1]) == pb.index(indb[0]) else 0
-        phase_concordant.append(pc)
+    # phase concordance (test_variant_connection :1607-1620): per-variant
+    # phase indices precompute once (O(n)), the per-pair loop reduces to
+    # vectorized selects
+    n_vt = len(vt)
+    dash = np.ones(n_vt, bool)
+    idx0 = np.zeros(n_vt, np.int8)
+    idx1 = np.zeros(n_vt, np.int8)
+    for v in np.unique(np.concatenate([p_lo, p_hi])) if P else []:
+        v = int(v)
+        pa = vt.phases[v]
+        if "-" in pa:
+            continue
+        ind = vt.ind_alleles[v]
+        dash[v] = False
+        idx0[v] = pa.index(ind[0])
+        idx1[v] = pa.index(ind[1])
+    if P:
+        ok = ~dash[va] & ~dash[vb]
+        gt = config_a > config_b
+        lt = config_a < config_b
+        pc_num = np.where(gt, idx0[va] == idx0[vb],
+                          idx1[va] == idx0[vb]).astype(np.int64)
+        use = ok & (gt | lt)
+        phase_concordant: List = [
+            int(pc_num[k]) if use[k] else "." for k in range(P)]
+    else:
+        phase_concordant = []
 
     # ---- post-prune adjacency + allele edges
     adj: Dict[int, Set[int]] = {}
